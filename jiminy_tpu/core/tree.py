@@ -1,0 +1,325 @@
+"""KinematicTree — the static model pytree, replacing Pinocchio's Model.
+
+Reference equivalent: jiminy's ``Model`` wraps a ``pinocchio::Model`` with
+theoretical/extended variants, flexible joints, bounds-as-constraints and
+contact frames (SURVEY.md §2.1 "Model"). Here the model is a single frozen
+pytree of stacked arrays plus hashable static metadata, so a compiled XLA
+program is specialized per robot topology (SURVEY.md §7 hard-parts: "one
+compiled program per robot model").
+
+Design notes (TPU-first):
+- Topology (parents, joint types, q/v offsets) is static Python data →
+  rigid-body algorithms unroll over bodies at trace time; the batch axis is
+  added by ``vmap`` and becomes the TPU vector dimension.
+- All numeric quantities are stacked ``(nb, ...)`` arrays so the tree is a
+  pytree leaf-compatible with ``jit``/``pjit`` donation and sharding.
+- Fixed joints are fused at build time (no runtime cost), but their frames
+  are preserved as operational frames for sensors/contacts.
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from jiminy_tpu.math import so3
+from jiminy_tpu.math.spatial import SpatialInertia, Transform
+
+
+class JointType(enum.IntEnum):
+    """Joint models supported by the runtime tree.
+
+    FREE and SPHERICAL use quaternion configuration blocks (xyzw) and
+    local-frame tangent velocities, matching the Pinocchio conventions the
+    reference inherits (SURVEY.md §2.1 "Steppers": Lie-group integrate)."""
+
+    FREE = 0  # nq=7 [pos(3), quat xyzw], nv=6 [v_lin local, ω local]
+    REVOLUTE = 1  # nq=1, nv=1, about `axis`
+    PRISMATIC = 2  # nq=1, nv=1, along `axis`
+    SPHERICAL = 3  # nq=4 [quat xyzw], nv=3 [ω local]
+
+
+JOINT_NQ = {
+    JointType.FREE: 7,
+    JointType.REVOLUTE: 1,
+    JointType.PRISMATIC: 1,
+    JointType.SPHERICAL: 4,
+}
+JOINT_NV = {
+    JointType.FREE: 6,
+    JointType.REVOLUTE: 1,
+    JointType.PRISMATIC: 1,
+    JointType.SPHERICAL: 3,
+}
+
+
+def _static(default=None):
+    return struct.field(pytree_node=False, default=default)
+
+
+class KinematicTree(struct.PyTreeNode):
+    """Frozen robot model. Build via :class:`TreeBuilder` or the URDF loader."""
+
+    # ---- static topology (hashable; specializes the compiled program) ----
+    nb: int = _static()  # number of moving bodies (== joints)
+    nq: int = _static()
+    nv: int = _static()
+    parent: tuple = _static()  # (nb,) parent body index, -1 = world
+    joint_type: tuple = _static()  # (nb,) JointType
+    q_off: tuple = _static()  # (nb,) offset of each joint's q block
+    v_off: tuple = _static()  # (nb,) offset of each joint's v block
+    body_name: tuple = _static()
+    joint_name: tuple = _static()
+    # operational frames (fixed frames attached to bodies)
+    frame_body: tuple = _static(())  # (nf,) body index per frame
+    frame_name: tuple = _static(())
+    # contact points: (ncp,) body index per point
+    contact_body: tuple = _static(())
+    contact_frame_name: tuple = _static(())
+
+    # ---- numeric model data (pytree leaves) ----
+    # pose of joint i's reference frame in the parent body frame
+    jp_rot: jax.Array = None  # (nb, 3, 3)
+    jp_pos: jax.Array = None  # (nb, 3)
+    axis: jax.Array = None  # (nb, 3) joint axis (revolute/prismatic; else e_z)
+    # body spatial inertia about body frame origin
+    inertia_mass: jax.Array = None  # (nb,)
+    inertia_h: jax.Array = None  # (nb, 3)  first moment m·c
+    inertia_mat: jax.Array = None  # (nb, 3, 3) about origin
+    armature: jax.Array = None  # (nv,) rotor inertia added to M diagonal
+    damping: jax.Array = None  # (nv,) joint-level viscous damping
+    # limits (hardware/bounds; consumed by envs & constraint layer)
+    q_min: jax.Array = None  # (nq,)
+    q_max: jax.Array = None  # (nq,)
+    v_max: jax.Array = None  # (nv,)
+    u_max: jax.Array = None  # (nv,)
+    gravity: jax.Array = None  # (3,)
+    # operational frame placements (in their body frame)
+    fp_rot: jax.Array = None  # (nf, 3, 3)
+    fp_pos: jax.Array = None  # (nf, 3)
+    # contact point positions in body frame
+    contact_pos: jax.Array = None  # (ncp, 3)
+
+    # ---- convenience -------------------------------------------------
+    def joint_placement(self, i: int) -> Transform:
+        return Transform(rot=self.jp_rot[i], pos=self.jp_pos[i])
+
+    def body_inertia(self, i: int) -> SpatialInertia:
+        return SpatialInertia(
+            mass=self.inertia_mass[i], h=self.inertia_h[i], inertia=self.inertia_mat[i]
+        )
+
+    def frame_placement(self, k: int) -> Transform:
+        return Transform(rot=self.fp_rot[k], pos=self.fp_pos[k])
+
+    @property
+    def nf(self) -> int:
+        return len(self.frame_body)
+
+    @property
+    def ncp(self) -> int:
+        return len(self.contact_body)
+
+    def frame_index(self, name: str) -> int:
+        return self.frame_name.index(name)
+
+    def joint_index(self, name: str) -> int:
+        return self.joint_name.index(name)
+
+    def neutral_q(self) -> jax.Array:
+        """Neutral configuration: identity quaternions, zeros elsewhere."""
+        q = np.zeros(self.nq, dtype=np.float32)
+        for i in range(self.nb):
+            t = self.joint_type[i]
+            off = self.q_off[i]
+            if t == JointType.FREE:
+                q[off + 6] = 1.0
+            elif t == JointType.SPHERICAL:
+                q[off + 3] = 1.0
+        return jnp.asarray(q)
+
+    def q_slice(self, i: int) -> slice:
+        return slice(self.q_off[i], self.q_off[i] + JOINT_NQ[self.joint_type[i]])
+
+    def v_slice(self, i: int) -> slice:
+        return slice(self.v_off[i], self.v_off[i] + JOINT_NV[self.joint_type[i]])
+
+
+class TreeBuilder:
+    """Imperative robot-model builder (programmatic equivalent of URDF).
+
+    Fixed joints are fused into the parent body (inertia composition +
+    frame bookkeeping), mirroring how the reference's Model reduces the
+    pinocchio model (SURVEY.md §2.1 "Model")."""
+
+    def __init__(self, gravity=(0.0, 0.0, -9.81)):
+        self._gravity = np.asarray(gravity, dtype=np.float32)
+        # per moving body
+        self.parent: list[int] = []
+        self.joint_type: list[JointType] = []
+        self.jp: list[np.ndarray] = []  # 4x4 homogeneous placements
+        self.axis: list[np.ndarray] = []
+        self.mass: list[float] = []
+        self.com: list[np.ndarray] = []
+        self.inertia_com: list[np.ndarray] = []
+        self.body_name: list[str] = []
+        self.joint_name: list[str] = []
+        self.armature: list[np.ndarray] = []
+        self.damping: list[np.ndarray] = []
+        self.q_min: list[np.ndarray] = []
+        self.q_max: list[np.ndarray] = []
+        self.v_max: list[np.ndarray] = []
+        self.u_max: list[np.ndarray] = []
+        # frames & contacts
+        self.frame_body: list[int] = []
+        self.frame_name: list[str] = []
+        self.fp: list[np.ndarray] = []
+        self.contact_body: list[int] = []
+        self.contact_pos: list[np.ndarray] = []
+        self.contact_frame_name: list[str] = []
+
+    @staticmethod
+    def make_placement(pos=(0, 0, 0), rpy=(0, 0, 0)) -> np.ndarray:
+        T = np.eye(4, dtype=np.float32)
+        q = np.asarray(so3.rpy_to_quat(jnp.asarray(rpy, dtype=jnp.float32)))
+        T[:3, :3] = np.asarray(so3.quat_to_matrix(jnp.asarray(q)))
+        T[:3, 3] = np.asarray(pos, dtype=np.float32)
+        return T
+
+    def add_body(
+        self,
+        name: str,
+        parent: int,
+        joint_type: JointType,
+        placement: np.ndarray | None = None,
+        axis=(0.0, 0.0, 1.0),
+        mass: float = 0.0,
+        com=(0.0, 0.0, 0.0),
+        inertia=None,
+        joint_name: str | None = None,
+        armature: float | Sequence[float] = 0.0,
+        damping: float | Sequence[float] = 0.0,
+        q_limits=None,
+        v_max: float = 1e6,
+        u_max: float = 1e6,
+    ) -> int:
+        """Add a moving body under `parent` (index, -1 for world). Returns
+        the new body index."""
+        nvj = JOINT_NV[joint_type]
+        nqj = JOINT_NQ[joint_type]
+        self.parent.append(parent)
+        self.joint_type.append(joint_type)
+        self.jp.append(np.eye(4, dtype=np.float32) if placement is None else placement)
+        ax = np.asarray(axis, dtype=np.float32)
+        n = np.linalg.norm(ax)
+        self.axis.append(ax / n if n > 0 else np.array([0, 0, 1], np.float32))
+        self.mass.append(float(mass))
+        self.com.append(np.asarray(com, dtype=np.float32))
+        if inertia is None:
+            inertia = np.zeros((3, 3), dtype=np.float32)
+        inertia = np.asarray(inertia, dtype=np.float32)
+        if inertia.shape == (3,):
+            inertia = np.diag(inertia)
+        self.inertia_com.append(inertia)
+        self.body_name.append(name)
+        self.joint_name.append(joint_name or f"{name}_joint")
+        self.armature.append(np.broadcast_to(np.asarray(armature, np.float32), (nvj,)).copy())
+        self.damping.append(np.broadcast_to(np.asarray(damping, np.float32), (nvj,)).copy())
+        if q_limits is None:
+            lo = np.full(nqj, -1e6, np.float32)
+            hi = np.full(nqj, 1e6, np.float32)
+        else:
+            lo = np.broadcast_to(np.asarray(q_limits[0], np.float32), (nqj,)).copy()
+            hi = np.broadcast_to(np.asarray(q_limits[1], np.float32), (nqj,)).copy()
+        # quaternion blocks have no box limits
+        if joint_type in (JointType.FREE, JointType.SPHERICAL):
+            qs = 3 if joint_type == JointType.FREE else 0
+            lo[qs:], hi[qs:] = -1e6, 1e6
+        self.q_min.append(lo)
+        self.q_max.append(hi)
+        self.v_max.append(np.full(nvj, v_max, np.float32))
+        self.u_max.append(np.full(nvj, u_max, np.float32))
+        return len(self.parent) - 1
+
+    def add_frame(self, name: str, body: int, placement: np.ndarray | None = None) -> int:
+        self.frame_body.append(body)
+        self.frame_name.append(name)
+        self.fp.append(np.eye(4, np.float32) if placement is None else placement)
+        return len(self.frame_body) - 1
+
+    def add_contact_point(self, name: str, body: int, pos=(0.0, 0.0, 0.0)) -> int:
+        self.contact_body.append(body)
+        self.contact_pos.append(np.asarray(pos, np.float32))
+        self.contact_frame_name.append(name)
+        return len(self.contact_body) - 1
+
+    def build(self, dtype=jnp.float32) -> KinematicTree:
+        nb = len(self.parent)
+        q_off, v_off = [], []
+        nq = nv = 0
+        for t in self.joint_type:
+            q_off.append(nq)
+            v_off.append(nv)
+            nq += JOINT_NQ[t]
+            nv += JOINT_NV[t]
+
+        jp = np.stack(self.jp) if nb else np.zeros((0, 4, 4), np.float32)
+        # inertia about body origin via parallel axis
+        masses, hs, mats = [], [], []
+        for m, c, ic in zip(self.mass, self.com, self.inertia_com):
+            ch = np.array(
+                [[0, -c[2], c[1]], [c[2], 0, -c[0]], [-c[1], c[0], 0]], np.float32
+            )
+            mats.append(ic + m * (ch @ ch.T))
+            hs.append(m * c)
+            masses.append(m)
+
+        fp = np.stack(self.fp) if self.fp else np.zeros((0, 4, 4), np.float32)
+        cp = (
+            np.stack(self.contact_pos)
+            if self.contact_pos
+            else np.zeros((0, 3), np.float32)
+        )
+
+        def arr(x, shape=None):
+            a = np.asarray(x, np.float32)
+            if shape is not None and a.size == 0:
+                a = a.reshape(shape)
+            return jnp.asarray(a, dtype=dtype)
+
+        return KinematicTree(
+            nb=nb,
+            nq=nq,
+            nv=nv,
+            parent=tuple(self.parent),
+            joint_type=tuple(JointType(t) for t in self.joint_type),
+            q_off=tuple(q_off),
+            v_off=tuple(v_off),
+            body_name=tuple(self.body_name),
+            joint_name=tuple(self.joint_name),
+            frame_body=tuple(self.frame_body),
+            frame_name=tuple(self.frame_name),
+            contact_body=tuple(self.contact_body),
+            contact_frame_name=tuple(self.contact_frame_name),
+            jp_rot=arr(jp[:, :3, :3], (0, 3, 3)),
+            jp_pos=arr(jp[:, :3, 3], (0, 3)),
+            axis=arr(np.stack(self.axis) if nb else np.zeros((0, 3)), (0, 3)),
+            inertia_mass=arr(masses, (0,)),
+            inertia_h=arr(np.stack(hs) if nb else np.zeros((0, 3)), (0, 3)),
+            inertia_mat=arr(np.stack(mats) if nb else np.zeros((0, 3, 3)), (0, 3, 3)),
+            armature=arr(np.concatenate(self.armature) if nb else np.zeros(0), (0,)),
+            damping=arr(np.concatenate(self.damping) if nb else np.zeros(0), (0,)),
+            q_min=arr(np.concatenate(self.q_min) if nb else np.zeros(0), (0,)),
+            q_max=arr(np.concatenate(self.q_max) if nb else np.zeros(0), (0,)),
+            v_max=arr(np.concatenate(self.v_max) if nb else np.zeros(0), (0,)),
+            u_max=arr(np.concatenate(self.u_max) if nb else np.zeros(0), (0,)),
+            gravity=arr(self._gravity),
+            fp_rot=arr(fp[:, :3, :3], (0, 3, 3)),
+            fp_pos=arr(fp[:, :3, 3], (0, 3)),
+            contact_pos=arr(cp, (0, 3)),
+        )
