@@ -1,0 +1,65 @@
+"""Benchmark: aggregate env-steps/s on the flagship env, one chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Baseline target: 1,000,000 env-steps/s on an ANYmal-class quadruped at
+batch 4096 on one TPU host (BASELINE.json north star); vs_baseline is
+value / 1e6. Currently benches CartPole until the ANYmal env lands.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main() -> None:
+    from jiminy_tpu.envs import CartPoleEnv
+
+    env = CartPoleEnv()
+    B = 4096
+    T = 200
+
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    states = jax.jit(jax.vmap(env.reset))(keys)
+
+    @jax.jit
+    def rollout(states, key):
+        def body(carry, _):
+            st, key = carry
+            key, k = jax.random.split(key)
+            a = jax.random.bernoulli(k, 0.5, (B,)).astype(jnp.int32)
+            st = jax.vmap(env.step)(st, a)
+            return (st, key), None
+
+        (st, _), _ = jax.lax.scan(body, (states, key), None, length=T)
+        return st
+
+    # compile + warmup
+    out = rollout(states, jax.random.PRNGKey(1))
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    n_iters = 5
+    for i in range(n_iters):
+        out = rollout(out, jax.random.PRNGKey(2 + i))
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    steps_per_s = B * T * n_iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "env_steps_per_sec_cartpole_b4096",
+                "value": round(steps_per_s),
+                "unit": "env-steps/s",
+                "vs_baseline": round(steps_per_s / 1e6, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,173 @@
+"""Functional RL environment base — the TPU-native BaseJiminyEnv.
+
+Reference: ``BaseJiminyEnv(gym.Env)`` drives the engine one env-step at a
+time from Python, with observation refresh at ``observe_dt``, command at
+``control_dt`` and termination hooks (SURVEY.md §2.4 "Env base", §3.2).
+
+TPU-first redesign: the env is a *pure function pair* (reset, step) over an
+``EnvState`` pytree. ``step`` includes device-resident auto-reset (masked
+state replacement on termination — the brax/gymnax pattern, SURVEY.md §7
+hard-parts "Variable-length episodes"), so a full training batch advances
+with zero host round-trips. A `gymnasium` adapter wraps the functional core
+for interactive single-env use (see ``gym_adapter.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from jiminy_tpu.engine.engine import Engine, SimState
+
+
+class EnvState(struct.PyTreeNode):
+    """Everything about one env instance, device-resident."""
+
+    sim: SimState
+    obs: jax.Array
+    reward: jax.Array  # ()
+    terminated: jax.Array  # () bool — MDP termination
+    truncated: jax.Array  # () bool — time limit
+    steps: jax.Array  # () int32 — steps in current episode
+    rng: jax.Array  # PRNG key for this env's stochasticity
+    info: dict = struct.field(default_factory=dict)
+
+    @property
+    def done(self) -> jax.Array:
+        return self.terminated | self.truncated
+
+
+class BaseEnv:
+    """Subclasses define the MDP; this class provides the step/reset
+    machinery, auto-reset and spaces metadata.
+
+    Subclass contract (all pure functions):
+      - ``_sample_state(key) -> (q, v)``: initial conditions
+      - ``_observe(sim, rng) -> obs``
+      - ``_reward(prev, action, sim) -> float``
+      - ``_terminated(sim) -> bool``
+      - ``_action_to_command(action, sim) -> u (nv,)``
+    """
+
+    def __init__(
+        self,
+        engine: Engine,
+        step_dt: float,
+        max_steps: int = 1000,
+    ):
+        self.engine = engine
+        self.tree = engine.tree
+        self.step_dt = step_dt
+        self.n_substeps = max(1, round(step_dt / engine.options.dt))
+        self.max_steps = max_steps
+
+    # ---- to override ---------------------------------------------------
+    def _sample_state(self, key: jax.Array) -> tuple[jax.Array, jax.Array]:
+        return self.tree.neutral_q(), jnp.zeros(self.tree.nv)
+
+    def _observe(self, sim: SimState, rng: jax.Array) -> jax.Array:
+        raise NotImplementedError
+
+    def _reward(self, prev: EnvState, action: jax.Array, sim: SimState) -> jax.Array:
+        raise NotImplementedError
+
+    def _terminated(self, sim: SimState) -> jax.Array:
+        return jnp.bool_(False)
+
+    def _action_to_command(self, action: jax.Array, sim: SimState) -> jax.Array:
+        raise NotImplementedError
+
+    # spaces metadata (sizes; bounds optional overrides)
+    @property
+    def action_size(self) -> int:
+        raise NotImplementedError
+
+    @property
+    def observation_size(self) -> int:
+        return int(self.reset(jax.random.PRNGKey(0)).obs.shape[-1])
+
+    @property
+    def discrete_actions(self) -> int | None:
+        """Number of discrete actions, or None for continuous."""
+        return None
+
+    # ---- machinery -----------------------------------------------------
+    def reset(self, key: jax.Array) -> EnvState:
+        k_state, k_obs, k_run = jax.random.split(key, 3)
+        q, v = self._sample_state(k_state)
+        sim = self.engine.reset(q=q, v=v)
+        obs = self._observe(sim, k_obs)
+        return EnvState(
+            sim=sim,
+            obs=obs,
+            reward=jnp.float32(0.0),
+            terminated=jnp.bool_(False),
+            truncated=jnp.bool_(False),
+            steps=jnp.int32(0),
+            rng=k_run,
+        )
+
+    def step_no_reset(self, state: EnvState, action: jax.Array) -> EnvState:
+        """One env step WITHOUT auto-reset (used by the adapter and tests)."""
+        rng, k_obs = jax.random.split(state.rng)
+        u = self._action_to_command(action, state.sim)
+        sim = self.engine.step(state.sim, u, n_substeps=self.n_substeps)
+        obs = self._observe(sim, k_obs)
+        reward = self._reward(state, action, sim)
+        steps = state.steps + 1
+        terminated = self._terminated(sim)
+        truncated = steps >= self.max_steps
+        return state.replace(
+            sim=sim,
+            obs=obs,
+            reward=jnp.float32(reward),
+            terminated=terminated,
+            truncated=truncated,
+            steps=steps,
+            rng=rng,
+        )
+
+    def step(self, state: EnvState, action: jax.Array) -> EnvState:
+        """One env step with device-resident auto-reset: when the episode
+        ends, the returned state is a freshly reset episode (the reward /
+        terminated / truncated flags still describe the finished step, so a
+        learner can bootstrap correctly)."""
+        nxt = self.step_no_reset(state, action)
+        rng, k_reset = jax.random.split(nxt.rng)
+        fresh = self.reset(k_reset)
+        done = nxt.terminated | nxt.truncated
+
+        def pick(a, b):
+            return jnp.where(
+                jnp.reshape(done, (1,) * jnp.ndim(a)) if jnp.ndim(a) else done, a, b
+            )
+
+        merged = jax.tree.map(pick, fresh, nxt)
+        # keep the step's own outcome visible to the learner
+        return merged.replace(
+            reward=nxt.reward,
+            terminated=nxt.terminated,
+            truncated=nxt.truncated,
+            rng=rng,
+        )
+
+    # ---- convenience ----------------------------------------------------
+    def rollout(
+        self, state: EnvState, actions: jax.Array
+    ) -> tuple[EnvState, dict[str, Any]]:
+        """Scan a fixed action sequence; returns final state + stacked
+        (obs, reward, terminated, truncated)."""
+
+        def body(st, a):
+            st = self.step(st, a)
+            return st, {
+                "obs": st.obs,
+                "reward": st.reward,
+                "terminated": st.terminated,
+                "truncated": st.truncated,
+            }
+
+        return jax.lax.scan(body, state, actions)
