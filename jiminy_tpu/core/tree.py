@@ -249,7 +249,7 @@ class TreeBuilder:
     def add_frame(self, name: str, body: int, placement: np.ndarray | None = None) -> int:
         self.frame_body.append(body)
         self.frame_name.append(name)
-        self.fp.append(np.eye(4, np.float32) if placement is None else placement)
+        self.fp.append(np.eye(4, dtype=np.float32) if placement is None else placement)
         return len(self.frame_body) - 1
 
     def add_contact_point(self, name: str, body: int, pos=(0.0, 0.0, 0.0)) -> int:

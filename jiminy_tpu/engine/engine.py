@@ -26,9 +26,15 @@ from flax import struct
 
 from jiminy_tpu.core import algos
 from jiminy_tpu.core.tree import JointType, KinematicTree
+from jiminy_tpu.engine import constraints as cstr
 from jiminy_tpu.engine import steppers
-from jiminy_tpu.engine.contact import ContactParams, compute_contact_fext
+from jiminy_tpu.engine.contact import (
+    ContactParams,
+    compute_contact_fext,
+    contact_points_world,
+)
 from jiminy_tpu.engine.ground import FlatGround
+from jiminy_tpu.engine.solver import BlockSpec, pgs_solve
 
 
 class SimState(struct.PyTreeNode):
@@ -50,6 +56,14 @@ class EngineOptions:
     solver: str = "euler_symplectic"  # or "runge_kutta_4"
     dt: float = 1e-3  # internal integration step (stepper.dtMax)
     contacts: ContactParams = dataclasses.field(default_factory=ContactParams)
+    # contact model selector, as in the reference's ``contacts.model``
+    # option: "spring_damper" (penalty) or "constraint" (PGS impulses)
+    contact_model: str = "spring_damper"
+    # PGS solver options (reference: ``constraints.*`` option block)
+    pgs_iters: int = 16
+    pgs_relax: float = 1.0
+    pgs_reg: float = 1e-6
+    contact_baumgarte_freq: float = 20.0
     # joint position bounds as smooth penalty forces (reference models them
     # as constraints or internal spring-damper dynamics; SURVEY.md §2.1
     # "Model": bounds-as-constraints)
@@ -72,14 +86,29 @@ class Engine:
         options: EngineOptions | None = None,
         ground=None,
         internal_dynamics: Optional[Callable] = None,
+        constraints: tuple = (),
     ):
         self.tree = tree
         self.options = options or EngineOptions()
         self.ground = ground if ground is not None else FlatGround()
         self.internal_dynamics = internal_dynamics
+        self.constraints = tuple(constraints)
         if self.options.solver not in steppers.STEPPERS:
             raise ValueError(f"unknown solver {self.options.solver!r}")
         self._stepper = steppers.STEPPERS[self.options.solver]
+        # constraint/impulse path: PGS at the velocity level fused with a
+        # semi-implicit Euler step (SURVEY.md §2.7 item 2)
+        self._use_impulse = (
+            bool(self.constraints) or self.options.contact_model == "constraint"
+        )
+        if self._use_impulse and self.options.solver not in (
+            "euler_symplectic",
+            "euler_explicit",
+        ):
+            raise ValueError(
+                "constraint/impulse dynamics requires the euler_symplectic "
+                "stepper (velocity-level impulses)"
+            )
 
     # -- state management ------------------------------------------------
     def reset(
@@ -141,6 +170,112 @@ class Engine:
         a = algos.aba(tree, q, v, tau, fext)
         return a, f_contact
 
+    # -- constraint / impulse dynamics --------------------------------------
+    def _impulse_substep(
+        self,
+        q: jax.Array,
+        v: jax.Array,
+        t: jax.Array,
+        u: jax.Array,
+        ground,
+        fext_user: jax.Array | None,
+    ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+        """One semi-implicit Euler substep with velocity-level PGS impulses
+        for kinematic constraints and (if contact_model == "constraint")
+        ground contacts. Returns (q', v', contact_forces_world, residual).
+
+        This fuses the reference's ``PGSSolver::SolveBoxedForwardDynamics``
+        into the integrator (SURVEY.md §3.1: constraint assembly → PGS →
+        aba), formulated at the impulse level which is the standard
+        fixed-step SPMD-friendly scheme."""
+        tree = self.tree
+        dt = self.options.dt
+        opts = self.options
+        xw, vel = algos.kinematics(tree, q, v)
+
+        tau = u - tree.damping * v + self._bound_torques(q, v)
+        if self.internal_dynamics is not None:
+            tau = tau + self.internal_dynamics(q, v, t)
+
+        fext = fext_user
+        f_contact_sd = jnp.zeros((tree.ncp, 3), dtype=q.dtype)
+        if opts.contact_model == "spring_damper" and tree.ncp > 0:
+            fext_c, f_contact_sd = compute_contact_fext(
+                tree, xw, vel, ground, opts.contacts
+            )
+            fext = fext_c if fext is None else fext + fext_c
+
+        a_free = algos.aba(tree, q, v, tau, fext)
+        v_free = v + dt * a_free
+
+        # ---- assemble constraint rows -------------------------------------
+        J_k, target_k, active_k, blocks = cstr.assemble(
+            tree, self.constraints, q, v, xw, vel, dt, ground
+        )
+        mu_parts = [jnp.zeros(J_k.shape[0], dtype=q.dtype)]
+        Js, targets, actives = [J_k], [target_k], [active_k]
+        off = J_k.shape[0]
+
+        use_contact_blocks = opts.contact_model == "constraint" and tree.ncp > 0
+        if use_contact_blocks:
+            pts, _ = contact_points_world(tree, xw, vel)
+            h, n = ground.query(pts[:, :2])
+            depth = h - pts[:, 2]  # > 0 when penetrating
+            t1, t2 = cstr.tangent_basis(n)
+            alpha = cstr.baumgarte_alpha(
+                jnp.float32(opts.contact_baumgarte_freq), dt
+            )
+            for k in range(tree.ncp):
+                b = tree.contact_body[k]
+                Jp = algos.point_jacobian(tree, xw, b, pts[k])
+                Jc = jnp.stack([t1[k] @ Jp, t2[k] @ Jp, n[k] @ Jp])
+                Js.append(Jc)
+                targets.append(
+                    jnp.array([0.0, 0.0, 1.0], q.dtype) * (alpha / dt * depth[k])
+                )
+                actives.append(jnp.repeat(depth[k] > 0.0, 3))
+                mu_parts.append(
+                    jnp.full(3, opts.contacts.friction, dtype=q.dtype)
+                )
+                blocks.append(BlockSpec(kind="contact", start=off, size=3))
+                off += 3
+
+        nc = off
+        if nc == 0:
+            q_next = algos.integrate(tree, q, v_free, dt)
+            return q_next, v_free, f_contact_sd, jnp.zeros((), q.dtype)
+
+        J = jnp.concatenate(Js, axis=0)
+        target = jnp.concatenate(targets, axis=0)
+        active = jnp.concatenate(actives, axis=0)
+        mu = jnp.concatenate(mu_parts, axis=0)
+
+        M = algos.crba(tree, q)
+        cho = jax.scipy.linalg.cho_factor(M)
+        MinvJT = jax.scipy.linalg.cho_solve(cho, J.T)  # (nv, nc)
+        A = J @ MinvJT + opts.pgs_reg * jnp.eye(nc, dtype=q.dtype)
+        rhs = target - J @ v_free
+        lam, residual = pgs_solve(
+            A,
+            rhs,
+            blocks,
+            mu,
+            active,
+            iters=opts.pgs_iters,
+            relax=opts.pgs_relax,
+        )
+        v_next = v_free + MinvJT @ lam
+        q_next = algos.integrate(tree, q, v_next, dt)
+
+        if use_contact_blocks:
+            lam_c = lam[J_k.shape[0] :].reshape(tree.ncp, 3)
+            f_contact = (
+                t1 * lam_c[:, 0:1] + t2 * lam_c[:, 1:2] + n * lam_c[:, 2:3]
+            ) / dt
+        else:
+            f_contact = f_contact_sd
+        return q_next, v_next, f_contact, residual
+
     # -- stepping ----------------------------------------------------------
     def step(
         self,
@@ -156,6 +291,23 @@ class Engine:
         dt = self.options.dt
         stepper = self._stepper
         tree = self.tree
+
+        if self._use_impulse:
+
+            def body_imp(carry, _):
+                q, v, t, _ = carry
+                q, v, f_c, _res = self._impulse_substep(
+                    q, v, t, u, ground, fext_user
+                )
+                return (q, v, t + dt, f_c), None
+
+            (q, v, t, f_contact), _ = jax.lax.scan(
+                body_imp,
+                (state.q, state.v, state.t, state.contact_forces),
+                None,
+                length=n_substeps,
+            )
+            return SimState(t=t, q=q, v=v, contact_forces=f_contact)
 
         def dyn(q, v, t):
             a, _ = self.dynamics(q, v, t, u, ground, fext_user)

@@ -1,0 +1,97 @@
+"""Projected Gauss-Seidel (PGS) impulse solver, batched and fixed-iteration.
+
+Reference: jiminy's ``PGSSolver::SolveBoxedForwardDynamics`` — an impulse
+solver over all active constraints with friction-cone projection for
+contacts, bounds handling and over-relaxation (SURVEY.md §2.1 "Constraint
+solver").
+
+TPU-first design decisions:
+- **Fixed iteration count** (no data-dependent exit): under ``vmap`` a
+  convergence test would diverge lockstep across the batch
+  (SURVEY.md §7 hard-parts "PGS convergence with fixed iteration counts").
+  The residual is returned so callers can telemeter convergence.
+- The Gauss-Seidel sweep over constraint blocks is unrolled at trace time
+  (the block structure is static); the iteration loop is a ``lax.scan``.
+- Inactive constraints are masked (their impulse is forced to zero) rather
+  than removed, keeping all shapes static.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+class BlockSpec(NamedTuple):
+    """Static description of one constraint block in the stacked system.
+
+    kind:
+      - "equality": bilateral rows (weld, distance, joint lock, wheel)
+      - "contact": 3 rows [t1, t2, normal]; λ_n ≥ 0, ‖λ_t‖ ≤ μ·λ_n
+      - "lower": unilateral rows, λ ≥ 0 (e.g. joint lower bound)
+      - "upper": unilateral rows, λ ≤ 0 (e.g. joint upper bound)
+    """
+
+    kind: str
+    start: int
+    size: int
+
+
+def pgs_solve(
+    A: jax.Array,  # (nc, nc) Delassus matrix J M⁻¹ Jᵀ (+ regularization)
+    b: jax.Array,  # (nc,) rhs: target_velocity − J v_free
+    blocks: Sequence[BlockSpec],
+    mu: jax.Array,  # (nc,) friction coef per row (used on contact blocks)
+    active: jax.Array,  # (nc,) bool mask per row
+    lam0: jax.Array | None = None,
+    iters: int = 16,
+    relax: float = 1.0,
+) -> tuple[jax.Array, jax.Array]:
+    """Solve A·λ = b subject to per-block projections. Returns (λ, residual∞).
+
+    Gauss-Seidel with over-relaxation ``relax``; warm start ``lam0``.
+    """
+    nc = A.shape[0]
+    lam = jnp.zeros(nc, dtype=A.dtype) if lam0 is None else lam0
+    lam = jnp.where(active, lam, 0.0)
+    # guard the diagonal so masked/degenerate rows don't divide by ~0
+    diag = jnp.maximum(jnp.diagonal(A), 1e-8)
+
+    def sweep(lam, _):
+        for blk in blocks:
+            s, k = blk.start, blk.size
+            if blk.kind == "contact":
+                # normal row last in the block: solve it first, clamp ≥ 0
+                i_n = s + 2
+                r = b[i_n] - A[i_n] @ lam
+                ln = jnp.maximum(lam[i_n] + relax * r / diag[i_n], 0.0)
+                ln = jnp.where(active[i_n], ln, 0.0)
+                lam = lam.at[i_n].set(ln)
+                # tangent rows, then project onto the friction cone
+                for i_t in (s, s + 1):
+                    r = b[i_t] - A[i_t] @ lam
+                    lt = lam[i_t] + relax * r / diag[i_t]
+                    lam = lam.at[i_t].set(jnp.where(active[i_t], lt, 0.0))
+                lt = lam[s : s + 2]
+                tn = jnp.linalg.norm(lt)
+                lim = mu[i_n] * ln
+                scale = jnp.where(tn > lim, lim / jnp.maximum(tn, 1e-12), 1.0)
+                lam = lam.at[s : s + 2].set(lt * scale)
+            else:
+                for i in range(s, s + k):
+                    r = b[i] - A[i] @ lam
+                    li = lam[i] + relax * r / diag[i]
+                    if blk.kind == "lower":
+                        li = jnp.maximum(li, 0.0)
+                    elif blk.kind == "upper":
+                        li = jnp.minimum(li, 0.0)
+                    lam = lam.at[i].set(jnp.where(active[i], li, 0.0))
+        return lam, None
+
+    lam, _ = jax.lax.scan(sweep, lam, None, length=iters)
+    residual = jnp.max(
+        jnp.where(active, jnp.abs(b - A @ lam), 0.0), initial=0.0
+    )
+    return lam, residual

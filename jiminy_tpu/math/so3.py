@@ -136,6 +136,11 @@ def quat_log(q: jax.Array) -> jax.Array:
     return vec * scale
 
 
+def log_matrix(R: jax.Array) -> jax.Array:
+    """Logarithm map: rotation matrix → rotation vector (3,)."""
+    return quat_log(matrix_to_quat(R))
+
+
 def quat_integrate(q: jax.Array, w_local: jax.Array, dt) -> jax.Array:
     """Integrate unit quaternion by a body-frame angular velocity over dt:
     ``q_new = q ⊗ exp(w_local · dt)`` (local/right increment, Pinocchio
