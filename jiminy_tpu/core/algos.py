@@ -140,6 +140,49 @@ def frame_kinematics(
     return poses, (lvs if vel is not None else None)
 
 
+def body_accelerations(
+    tree: KinematicTree,
+    q: jax.Array,
+    v: jax.Array,
+    a: jax.Array,
+    gravity_offset: bool = True,
+) -> tuple[list[Transform], list[jax.Array], list[jax.Array]]:
+    """World poses, local spatial velocities AND local spatial accelerations
+    of every body given joint accelerations ``a``.
+
+    With ``gravity_offset`` the returned accelerations include −g (i.e. they
+    are *proper* accelerations, what an accelerometer measures — reference:
+    jiminy's ImuSensor accel output, SURVEY.md §2.1 "Sensors")."""
+    dtype = q.dtype
+    xl = _local_transforms(tree, q)
+    a0 = (
+        jnp.concatenate([jnp.zeros(3, dtype=dtype), -tree.gravity.astype(dtype)])
+        if gravity_offset
+        else jnp.zeros(6, dtype=dtype)
+    )
+    xw: list[Transform] = []
+    vel: list[jax.Array] = []
+    acc: list[jax.Array] = []
+    for i in range(tree.nb):
+        p = tree.parent[i]
+        S = motion_subspace(tree, i, dtype)
+        vj = S @ v[tree.v_slice(i)]
+        aj = S @ a[tree.v_slice(i)]
+        if p < 0:
+            xw.append(xl[i])
+            vel.append(vj)
+            acc.append(xl[i].motion_parent_to_child(a0) + aj)
+        else:
+            xw.append(xw[p].compose(xl[i]))
+            vel.append(xl[i].motion_parent_to_child(vel[p]) + vj)
+            acc.append(
+                xl[i].motion_parent_to_child(acc[p])
+                + aj
+                + motion_cross(vel[i], vj)
+            )
+    return xw, vel, acc
+
+
 def rnea(
     tree: KinematicTree,
     q: jax.Array,

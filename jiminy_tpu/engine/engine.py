@@ -87,12 +87,17 @@ class Engine:
         ground=None,
         internal_dynamics: Optional[Callable] = None,
         constraints: tuple = (),
+        motors=None,
     ):
         self.tree = tree
         self.options = options or EngineOptions()
         self.ground = ground if ground is not None else FlatGround()
         self.internal_dynamics = internal_dynamics
         self.constraints = tuple(constraints)
+        # optional motor bank: when set, ``step``'s command is motor-side
+        # (nm,) and is mapped to joint torque per substep (reference:
+        # Robot = Model + hardware, SURVEY.md §2.1 "Robot"/"Motors")
+        self.motors = motors
         if self.options.solver not in steppers.STEPPERS:
             raise ValueError(f"unknown solver {self.options.solver!r}")
         self._stepper = steppers.STEPPERS[self.options.solver]
@@ -145,6 +150,18 @@ class Engine:
             tau = tau.at[vo].add(f)
         return tau
 
+    def _joint_torque(
+        self, u: jax.Array, q: jax.Array, v: jax.Array, t: jax.Array
+    ) -> jax.Array:
+        """Command → total actuation torque: motor model (if attached),
+        joint damping, bound penalties, internal-dynamics hook
+        (SURVEY.md §3.1: motor model + internal dynamics steps)."""
+        tau = self.motors.compute_effort(u, v) if self.motors is not None else u
+        tau = tau - self.tree.damping * v + self._bound_torques(q, v)
+        if self.internal_dynamics is not None:
+            tau = tau + self.internal_dynamics(q, v, t)
+        return tau
+
     def dynamics(
         self,
         q: jax.Array,
@@ -154,7 +171,7 @@ class Engine:
         ground,
         fext_user: jax.Array | None = None,
     ) -> tuple[jax.Array, jax.Array]:
-        """Full system dynamics: (q, v, t, joint torque u) → (a, contact
+        """Full system dynamics: (q, v, t, command u) → (a, contact
         forces). This is the reference's ``computeSystemsDynamics`` body
         (SURVEY.md §3.1 hot loop)."""
         tree = self.tree
@@ -164,9 +181,7 @@ class Engine:
         )
         if fext_user is not None:
             fext = fext + fext_user
-        tau = u - tree.damping * v + self._bound_torques(q, v)
-        if self.internal_dynamics is not None:
-            tau = tau + self.internal_dynamics(q, v, t)
+        tau = self._joint_torque(u, q, v, t)
         a = algos.aba(tree, q, v, tau, fext)
         return a, f_contact
 
@@ -193,9 +208,7 @@ class Engine:
         opts = self.options
         xw, vel = algos.kinematics(tree, q, v)
 
-        tau = u - tree.damping * v + self._bound_torques(q, v)
-        if self.internal_dynamics is not None:
-            tau = tau + self.internal_dynamics(q, v, t)
+        tau = self._joint_torque(u, q, v, t)
 
         fext = fext_user
         f_contact_sd = jnp.zeros((tree.ncp, 3), dtype=q.dtype)
