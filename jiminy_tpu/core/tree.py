@@ -246,6 +246,51 @@ class TreeBuilder:
         self.u_max.append(np.full(nvj, u_max, np.float32))
         return len(self.parent) - 1
 
+    def fuse_fixed_body(
+        self,
+        name: str,
+        parent: int,
+        placement: np.ndarray,
+        mass: float = 0.0,
+        com=(0.0, 0.0, 0.0),
+        inertia=None,
+    ) -> int:
+        """Fuse a fixed (0-DoF) body into ``parent``: composite the inertia
+        and keep the body's frame as an operational frame (the reference's
+        Model reduces fixed pinocchio joints the same way — SURVEY.md §2.1
+        "Model"). Returns the new frame index. ``parent`` may be -1 only for
+        massless world attachments (then nothing is fused)."""
+        R = placement[:3, :3].astype(np.float32)
+        p = placement[:3, 3].astype(np.float32)
+        frame = self.add_frame(name, parent, placement)
+        if parent < 0 or mass <= 0.0:
+            return frame
+        if inertia is None:
+            inertia = np.zeros((3, 3), dtype=np.float32)
+        inertia = np.asarray(inertia, dtype=np.float32)
+        if inertia.shape == (3,):
+            inertia = np.diag(inertia)
+        # child's com and com-inertia expressed in the parent body frame
+        c2 = R @ np.asarray(com, np.float32) + p
+        i2 = R @ inertia @ R.T
+        m1 = self.mass[parent]
+        c1 = self.com[parent]
+        i1 = self.inertia_com[parent]
+        m = m1 + float(mass)
+        c = (m1 * c1 + mass * c2) / m
+
+        def shift(I, mi, ci):
+            d = ci - c
+            return I + mi * (np.dot(d, d) * np.eye(3, dtype=np.float32)
+                             - np.outer(d, d))
+
+        self.mass[parent] = m
+        self.com[parent] = c.astype(np.float32)
+        self.inertia_com[parent] = (
+            shift(i1, m1, c1) + shift(i2, float(mass), c2)
+        ).astype(np.float32)
+        return frame
+
     def add_frame(self, name: str, body: int, placement: np.ndarray | None = None) -> int:
         self.frame_body.append(body)
         self.frame_name.append(name)

@@ -35,6 +35,7 @@ from jiminy_tpu.engine.contact import (
 )
 from jiminy_tpu.engine.ground import FlatGround
 from jiminy_tpu.engine.solver import BlockSpec, pgs_solve
+from jiminy_tpu.math import linalg
 
 
 class SimState(struct.PyTreeNode):
@@ -218,7 +219,13 @@ class Engine:
             )
             fext = fext_c if fext is None else fext + fext_c
 
-        a_free = algos.aba(tree, q, v, tau, fext)
+        # free dynamics via the mass-matrix factorization (we need M for the
+        # Delassus matrix anyway, and the unrolled Cholesky is far cheaper
+        # on TPU than a second ABA sweep — see math/linalg.py)
+        M = algos.crba(tree, q)
+        L = linalg.cholesky(M)
+        bias = algos.rnea(tree, q, v, jnp.zeros_like(v), fext)
+        a_free = linalg.cho_solve(L, tau - bias)
         v_free = v + dt * a_free
 
         # ---- assemble constraint rows -------------------------------------
@@ -263,9 +270,7 @@ class Engine:
         active = jnp.concatenate(actives, axis=0)
         mu = jnp.concatenate(mu_parts, axis=0)
 
-        M = algos.crba(tree, q)
-        cho = jax.scipy.linalg.cho_factor(M)
-        MinvJT = jax.scipy.linalg.cho_solve(cho, J.T)  # (nv, nc)
+        MinvJT = linalg.cho_solve(L, J.T)  # (nv, nc)
         A = J @ MinvJT + opts.pgs_reg * jnp.eye(nc, dtype=q.dtype)
         rhs = target - J @ v_free
         lam, residual = pgs_solve(

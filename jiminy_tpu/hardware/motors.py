@@ -34,6 +34,7 @@ class Motors(struct.PyTreeNode):
 
     # static topology
     v_idx: tuple = _static(())  # (nm,) velocity-dof index per motor
+    q_idx: tuple = _static(())  # (nm,) position index per motor (1-DoF joints)
     name: tuple = _static(())
 
     # (nm,) parameters — pytree leaves, may be randomized per env
@@ -51,6 +52,7 @@ class Motors(struct.PyTreeNode):
     @staticmethod
     def create(
         v_idx,
+        q_idx=None,
         names=None,
         reduction=1.0,
         effort_limit=1e6,
@@ -66,6 +68,7 @@ class Motors(struct.PyTreeNode):
 
         return Motors(
             v_idx=tuple(int(i) for i in v_idx),
+            q_idx=tuple(int(i) for i in (q_idx if q_idx is not None else v_idx)),
             name=tuple(names) if names else tuple(f"motor_{i}" for i in v_idx),
             reduction=arr(reduction),
             effort_limit=arr(effort_limit),
@@ -104,3 +107,12 @@ class Motors(struct.PyTreeNode):
         """Inverse map for controllers that think joint-side: (nm,) joint
         torques → motor commands (divide by reduction)."""
         return tau_joint / self.reduction
+
+    def joint_state(self, q: jax.Array, v: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """Motor-ordered joint positions and velocities (nm,), (nm,) — the
+        state a PD controller closes on (reference: EncoderSensor data used
+        by the PDController block, SURVEY.md §2.4 "Blocks")."""
+        return (
+            q[jnp.asarray(self.q_idx, dtype=jnp.int32)],
+            v[jnp.asarray(self.v_idx, dtype=jnp.int32)],
+        )
