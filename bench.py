@@ -1,9 +1,13 @@
-"""Benchmark: aggregate env-steps/s on the flagship env, one chip.
+"""Benchmark: aggregate env-steps/s on the flagship ANYmal env, one chip.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
-Baseline target: 1,000,000 env-steps/s on an ANYmal-class quadruped at
-batch 4096 on one TPU host (BASELINE.json north star); vs_baseline is
-value / 1e6. Currently benches CartPole until the ANYmal env lands.
+Baseline target (BASELINE.json north star): 1,000,000 env-steps/s on an
+ANYmal-class quadruped at batch 4096 on one TPU host; vs_baseline is
+value / 1e6.
+
+One env step = one 50 Hz control step = 8 physics substeps at 2.5 ms,
+each a full PGS-contact dynamics step with the PD inner loop — so the
+engine itself advances 8× the reported rate.
 """
 
 from __future__ import annotations
@@ -16,11 +20,11 @@ import jax.numpy as jnp
 
 
 def main() -> None:
-    from jiminy_tpu.envs import CartPoleEnv
+    from jiminy_tpu.envs import ANYmalEnv
 
-    env = CartPoleEnv()
+    env = ANYmalEnv(step_dt=0.02, sim_dt=2.5e-3, pgs_iters=8)
     B = 4096
-    T = 200
+    T = 25
 
     keys = jax.random.split(jax.random.PRNGKey(0), B)
     states = jax.jit(jax.vmap(env.reset))(keys)
@@ -30,7 +34,7 @@ def main() -> None:
         def body(carry, _):
             st, key = carry
             key, k = jax.random.split(key)
-            a = jax.random.bernoulli(k, 0.5, (B,)).astype(jnp.int32)
+            a = jax.random.uniform(k, (B, 12), minval=-1.0, maxval=1.0)
             st = jax.vmap(env.step)(st, a)
             return (st, key), None
 
@@ -42,7 +46,7 @@ def main() -> None:
     jax.block_until_ready(out)
 
     t0 = time.perf_counter()
-    n_iters = 5
+    n_iters = 4
     for i in range(n_iters):
         out = rollout(out, jax.random.PRNGKey(2 + i))
     jax.block_until_ready(out)
@@ -52,7 +56,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "env_steps_per_sec_cartpole_b4096",
+                "metric": "env_steps_per_sec_anymal_b4096",
                 "value": round(steps_per_s),
                 "unit": "env-steps/s",
                 "vs_baseline": round(steps_per_s / 1e6, 4),

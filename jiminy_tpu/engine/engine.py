@@ -65,6 +65,11 @@ class EngineOptions:
     pgs_relax: float = 1.0
     pgs_reg: float = 1e-6
     contact_baumgarte_freq: float = 20.0
+    # joint position bounds: "penalty" (spring-damper torque), "constraint"
+    # (PGS rows — the reference's bounds-as-constraints, SURVEY.md §2.1
+    # "Model"), or "auto" (constraint on the impulse path, else penalty)
+    bounds_model: str = "auto"
+    bounds_baumgarte_freq: float = 20.0
     # joint position bounds as smooth penalty forces (reference models them
     # as constraints or internal spring-damper dynamics; SURVEY.md §2.1
     # "Model": bounds-as-constraints)
@@ -89,6 +94,7 @@ class Engine:
         internal_dynamics: Optional[Callable] = None,
         constraints: tuple = (),
         motors=None,
+        controller: Optional[Callable] = None,
     ):
         self.tree = tree
         self.options = options or EngineOptions()
@@ -99,6 +105,11 @@ class Engine:
         # (nm,) and is mapped to joint torque per substep (reference:
         # Robot = Model + hardware, SURVEY.md §2.1 "Robot"/"Motors")
         self.motors = motors
+        # optional inner-loop controller (cmd, q, v, t) → motor command,
+        # evaluated at every substep — the reference's high-frequency
+        # controller running at controllerUpdatePeriod inside Engine.step
+        # with the env action as its setpoint (SURVEY.md §3.1/§3.2)
+        self.controller = controller
         if self.options.solver not in steppers.STEPPERS:
             raise ValueError(f"unknown solver {self.options.solver!r}")
         self._stepper = steppers.STEPPERS[self.options.solver]
@@ -151,14 +162,46 @@ class Engine:
             tau = tau.at[vo].add(f)
         return tau
 
+    def _bounds_mode(self) -> str:
+        bm = self.options.bounds_model
+        if bm == "auto":
+            return "constraint" if self._use_impulse else "penalty"
+        return bm
+
+    def _bounded_joints(self) -> list[int]:
+        """1-DoF joints with finite position limits (computed eagerly once —
+        limits are static topology, not per-env data)."""
+        if not hasattr(self, "_bounded_cache"):
+            import numpy as np
+
+            tree = self.tree
+            q_min = np.asarray(tree.q_min)
+            q_max = np.asarray(tree.q_max)
+            out = []
+            for i in range(tree.nb):
+                if tree.joint_type[i] not in (
+                    JointType.REVOLUTE,
+                    JointType.PRISMATIC,
+                ):
+                    continue
+                qo = tree.q_off[i]
+                if q_min[qo] > -1e5 or q_max[qo] < 1e5:
+                    out.append(i)
+            self._bounded_cache = out
+        return self._bounded_cache
+
     def _joint_torque(
         self, u: jax.Array, q: jax.Array, v: jax.Array, t: jax.Array
     ) -> jax.Array:
-        """Command → total actuation torque: motor model (if attached),
-        joint damping, bound penalties, internal-dynamics hook
-        (SURVEY.md §3.1: motor model + internal dynamics steps)."""
+        """Command → total actuation torque: inner-loop controller, motor
+        model (if attached), joint damping, bound penalties, internal-
+        dynamics hook (SURVEY.md §3.1: motor model + internal dynamics)."""
+        if self.controller is not None:
+            u = self.controller(u, q, v, t)
         tau = self.motors.compute_effort(u, v) if self.motors is not None else u
-        tau = tau - self.tree.damping * v + self._bound_torques(q, v)
+        tau = tau - self.tree.damping * v
+        if self._bounds_mode() == "penalty":
+            tau = tau + self._bound_torques(q, v)
         if self.internal_dynamics is not None:
             tau = tau + self.internal_dynamics(q, v, t)
         return tau
@@ -236,7 +279,36 @@ class Engine:
         Js, targets, actives = [J_k], [target_k], [active_k]
         off = J_k.shape[0]
 
+        # ---- joint position bounds as unilateral PGS rows ------------------
+        # (reference: bounds-as-constraints, SURVEY.md §2.1 "Model"; one row
+        # per bounded joint, signed toward the nearest limit; far from the
+        # limit the target is unreachable-negative so λ projects to 0)
+        if self._bounds_mode() == "constraint" and opts.enable_bounds:
+            alpha_b = cstr.baumgarte_alpha(
+                jnp.float32(opts.bounds_baumgarte_freq), dt
+            )
+            for i in self._bounded_joints():
+                qo, vo = tree.q_off[i], tree.v_off[i]
+                lo, hi = tree.q_min[qo], tree.q_max[qo]
+                d_lo = q[qo] - lo  # distance to lower bound (push +)
+                d_hi = hi - q[qo]  # distance to upper bound (push −)
+                s = jnp.where(d_lo < d_hi, 1.0, -1.0).astype(q.dtype)
+                dist = jnp.minimum(d_lo, d_hi)  # < 0 when violating
+                Js.append(
+                    jnp.zeros((1, tree.nv), dtype=q.dtype).at[0, vo].set(s)
+                )
+                # violating: Baumgarte pushback; inside: may approach the
+                # bound but not cross it within this step
+                targets.append(
+                    (jnp.where(dist < 0, -alpha_b * dist, -dist) / dt)[None]
+                )
+                actives.append(jnp.ones(1, dtype=bool))
+                mu_parts.append(jnp.zeros(1, dtype=q.dtype))
+                blocks.append(BlockSpec(kind="lower", start=off, size=1))
+                off += 1
+
         use_contact_blocks = opts.contact_model == "constraint" and tree.ncp > 0
+        contact_off = off
         if use_contact_blocks:
             pts, _ = contact_points_world(tree, xw, vel)
             h, n = ground.query(pts[:, :2])
@@ -286,7 +358,7 @@ class Engine:
         q_next = algos.integrate(tree, q, v_next, dt)
 
         if use_contact_blocks:
-            lam_c = lam[J_k.shape[0] :].reshape(tree.ncp, 3)
+            lam_c = lam[contact_off:].reshape(tree.ncp, 3)
             f_contact = (
                 t1 * lam_c[:, 0:1] + t2 * lam_c[:, 1:2] + n * lam_c[:, 2:3]
             ) / dt
