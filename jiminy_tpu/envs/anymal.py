@@ -107,6 +107,7 @@ class ANYmalEnv(BaseEnv):
         )
 
     def _action_to_command(self, action, sim):
+        action = jnp.clip(action, -1.0, 1.0)
         return self._stand_targets + self.action_scale * action
 
     def _reward(self, prev, action, sim: SimState) -> jax.Array:

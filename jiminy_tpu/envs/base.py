@@ -108,6 +108,9 @@ class BaseEnv:
             truncated=jnp.bool_(False),
             steps=jnp.int32(0),
             rng=k_run,
+            # pre-auto-reset observation of the step that produced this
+            # state — what a learner must bootstrap from on truncation
+            info={"final_obs": obs},
         )
 
     def step_no_reset(self, state: EnvState, action: jax.Array) -> EnvState:
@@ -146,12 +149,15 @@ class BaseEnv:
             )
 
         merged = jax.tree.map(pick, fresh, nxt)
-        # keep the step's own outcome visible to the learner
+        # keep the step's own outcome visible to the learner; final_obs is
+        # the TERMINAL observation even after the state was auto-reset, so
+        # PPO/GAE can bootstrap correctly on truncation
         return merged.replace(
             reward=nxt.reward,
             terminated=nxt.terminated,
             truncated=nxt.truncated,
             rng=rng,
+            info={**merged.info, "final_obs": nxt.obs},
         )
 
     # ---- convenience ----------------------------------------------------
