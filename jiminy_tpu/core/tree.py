@@ -93,6 +93,10 @@ class KinematicTree(struct.PyTreeNode):
     inertia_mat: jax.Array = None  # (nb, 3, 3) about origin
     armature: jax.Array = None  # (nv,) rotor inertia added to M diagonal
     damping: jax.Array = None  # (nv,) joint-level viscous damping
+    # (nv,) joint-level spring stiffness toward the neutral configuration
+    # (quaternion joints: torque −k·log(quat)); carries the reference's
+    # flexible-joint stiffness (SURVEY.md §2.1 "Model": flexible joints)
+    stiffness: jax.Array = None
     # limits (hardware/bounds; consumed by envs & constraint layer)
     q_min: jax.Array = None  # (nq,)
     q_max: jax.Array = None  # (nq,)
@@ -150,6 +154,36 @@ class KinematicTree(struct.PyTreeNode):
         return slice(self.v_off[i], self.v_off[i] + JOINT_NV[self.joint_type[i]])
 
 
+def map_configuration(
+    src: KinematicTree, dst: KinematicTree, q_src: jax.Array
+) -> jax.Array:
+    """Map a configuration between two trees by JOINT NAME; joints absent
+    from ``src`` (e.g. inserted flexibility joints) stay neutral.
+
+    This is the reference's rigid↔flexible state expansion
+    (SURVEY.md §3.1: "flexible-model state expansion")."""
+    q = dst.neutral_q()
+    for j, name in enumerate(dst.joint_name):
+        if name not in src.joint_name:
+            continue
+        i = src.joint_name.index(name)
+        q = q.at[dst.q_slice(j)].set(q_src[src.q_slice(i)])
+    return q
+
+
+def map_velocity(
+    src: KinematicTree, dst: KinematicTree, v_src: jax.Array
+) -> jax.Array:
+    """Velocity counterpart of :func:`map_configuration`."""
+    v = jnp.zeros(dst.nv, dtype=v_src.dtype)
+    for j, name in enumerate(dst.joint_name):
+        if name not in src.joint_name:
+            continue
+        i = src.joint_name.index(name)
+        v = v.at[dst.v_slice(j)].set(v_src[src.v_slice(i)])
+    return v
+
+
 class TreeBuilder:
     """Imperative robot-model builder (programmatic equivalent of URDF).
 
@@ -171,6 +205,7 @@ class TreeBuilder:
         self.joint_name: list[str] = []
         self.armature: list[np.ndarray] = []
         self.damping: list[np.ndarray] = []
+        self.stiffness: list[np.ndarray] = []
         self.q_min: list[np.ndarray] = []
         self.q_max: list[np.ndarray] = []
         self.v_max: list[np.ndarray] = []
@@ -204,6 +239,7 @@ class TreeBuilder:
         joint_name: str | None = None,
         armature: float | Sequence[float] = 0.0,
         damping: float | Sequence[float] = 0.0,
+        stiffness: float | Sequence[float] = 0.0,
         q_limits=None,
         v_max: float = 1e6,
         u_max: float = 1e6,
@@ -230,6 +266,7 @@ class TreeBuilder:
         self.joint_name.append(joint_name or f"{name}_joint")
         self.armature.append(np.broadcast_to(np.asarray(armature, np.float32), (nvj,)).copy())
         self.damping.append(np.broadcast_to(np.asarray(damping, np.float32), (nvj,)).copy())
+        self.stiffness.append(np.broadcast_to(np.asarray(stiffness, np.float32), (nvj,)).copy())
         if q_limits is None:
             lo = np.full(nqj, -1e6, np.float32)
             hi = np.full(nqj, 1e6, np.float32)
@@ -245,6 +282,60 @@ class TreeBuilder:
         self.v_max.append(np.full(nvj, v_max, np.float32))
         self.u_max.append(np.full(nvj, u_max, np.float32))
         return len(self.parent) - 1
+
+    def insert_flexibility(
+        self,
+        joint_name: str,
+        stiffness=100.0,
+        damping=1.0,
+        inertia=1e-3,
+    ) -> int:
+        """Insert a 3-DoF SPHERICAL flexibility joint *upstream* of the
+        named joint: the flexible body takes over the original joint
+        placement and carries a small rotary inertia; a spring-damper
+        (``stiffness``/``damping`` per axis) pulls it to identity.
+
+        Reference: jiminy's flexible joints — quaternion-parameterized
+        3-DoF rotations inserted at user-listed frames/joints with
+        inertia/stiffness/damping (SURVEY.md §2.1 "Model", §7 step 7).
+        Returns the index of the inserted body."""
+        i = self.joint_name.index(joint_name)
+        name = self.body_name[i] + "_flex"
+
+        def bump(idx: int) -> int:
+            return idx + 1 if idx >= i else idx
+
+        # shift all body references ≥ i (the new body takes index i)
+        self.parent = [bump(p) for p in self.parent]
+        self.frame_body = [bump(b) for b in self.frame_body]
+        self.contact_body = [bump(b) for b in self.contact_body]
+
+        # the flexible body inherits body i's parent and placement ...
+        self.parent.insert(i, self.parent[i])
+        self.joint_type.insert(i, JointType.SPHERICAL)
+        self.jp.insert(i, self.jp[i])
+        self.axis.insert(i, np.array([0, 0, 1], np.float32))
+        self.mass.insert(i, 0.0)
+        self.com.insert(i, np.zeros(3, np.float32))
+        ine = np.broadcast_to(np.asarray(inertia, np.float32), (3,))
+        self.inertia_com.insert(i, np.diag(ine).astype(np.float32))
+        self.body_name.insert(i, name)
+        self.joint_name.insert(i, name + "_joint")
+        self.armature.insert(i, np.zeros(3, np.float32))
+        self.damping.insert(
+            i, np.broadcast_to(np.asarray(damping, np.float32), (3,)).copy()
+        )
+        self.stiffness.insert(
+            i, np.broadcast_to(np.asarray(stiffness, np.float32), (3,)).copy()
+        )
+        self.q_min.insert(i, np.full(4, -1e6, np.float32))
+        self.q_max.insert(i, np.full(4, 1e6, np.float32))
+        self.v_max.insert(i, np.full(3, 1e6, np.float32))
+        self.u_max.insert(i, np.full(3, 1e6, np.float32))
+        # ... while the original body now hangs off the flex body at identity
+        self.parent[i + 1] = i
+        self.jp[i + 1] = np.eye(4, dtype=np.float32)
+        return i
 
     def fuse_fixed_body(
         self,
@@ -359,6 +450,7 @@ class TreeBuilder:
             inertia_mat=arr(np.stack(mats) if nb else np.zeros((0, 3, 3)), (0, 3, 3)),
             armature=arr(np.concatenate(self.armature) if nb else np.zeros(0), (0,)),
             damping=arr(np.concatenate(self.damping) if nb else np.zeros(0), (0,)),
+            stiffness=arr(np.concatenate(self.stiffness) if nb else np.zeros(0), (0,)),
             q_min=arr(np.concatenate(self.q_min) if nb else np.zeros(0), (0,)),
             q_max=arr(np.concatenate(self.q_max) if nb else np.zeros(0), (0,)),
             v_max=arr(np.concatenate(self.v_max) if nb else np.zeros(0), (0,)),

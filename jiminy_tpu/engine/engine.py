@@ -199,11 +199,40 @@ class Engine:
         if self.controller is not None:
             u = self.controller(u, q, v, t)
         tau = self.motors.compute_effort(u, v) if self.motors is not None else u
-        tau = tau - self.tree.damping * v
+        tau = tau - self.tree.damping * v + self._spring_torques(q)
         if self._bounds_mode() == "penalty":
             tau = tau + self._bound_torques(q, v)
         if self.internal_dynamics is not None:
             tau = tau + self.internal_dynamics(q, v, t)
+        return tau
+
+    def _spring_torques(self, q: jax.Array) -> jax.Array:
+        """Joint springs toward the neutral configuration — the restoring
+        torque of flexible joints (−k·log(quat) for spherical flexibility,
+        −k·q for sprung 1-DoF joints). Reference: flexibility internal
+        dynamics, SURVEY.md §2.1 "Model"/§3.1 "internal dynamics"."""
+        import numpy as np
+
+        from jiminy_tpu.math import so3
+
+        tree = self.tree
+        tau = jnp.zeros(tree.nv, dtype=q.dtype)
+        stiff = np.asarray(tree.stiffness)
+        if not np.any(stiff > 0):
+            return tau
+        for i in range(tree.nb):
+            vo = tree.v_off[i]
+            jt = tree.joint_type[i]
+            nvj = 3 if jt == JointType.SPHERICAL else 1
+            if jt == JointType.FREE or not np.any(stiff[vo : vo + nvj] > 0):
+                continue
+            qo = tree.q_off[i]
+            k = tree.stiffness[tree.v_slice(i)]
+            if jt == JointType.SPHERICAL:
+                err = so3.quat_log(q[qo : qo + 4])
+            else:
+                err = q[qo : qo + 1]
+            tau = tau.at[tree.v_slice(i)].add(-k * err)
         return tau
 
     def dynamics(
@@ -264,10 +293,17 @@ class Engine:
 
         # free dynamics via the mass-matrix factorization (we need M for the
         # Delassus matrix anyway, and the unrolled Cholesky is far cheaper
-        # on TPU than a second ABA sweep — see math/linalg.py)
+        # on TPU than a second ABA sweep — see math/linalg.py).
+        # Joint damping and springs (flexibility) integrate IMPLICITLY:
+        # (M + dt·C + dt²·K)·Δv = dt·(τ − C·v − K·q_err − dt·K·v) — the
+        # backward-Euler-in-(C,K) scheme, unconditionally stable for stiff
+        # flexibility (the reference relies on its adaptive stepper there;
+        # fixed-step SPMD needs this instead, SURVEY.md §7 hard-parts).
         M = algos.crba(tree, q)
+        M = M + jnp.diag(dt * tree.damping + dt * dt * tree.stiffness)
         L = linalg.cholesky(M)
         bias = algos.rnea(tree, q, v, jnp.zeros_like(v), fext)
+        tau = tau - dt * tree.stiffness * v
         a_free = linalg.cho_solve(L, tau - bias)
         v_free = v + dt * a_free
 

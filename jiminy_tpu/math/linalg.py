@@ -1,11 +1,14 @@
-"""Small-matrix linear algebra, unrolled at trace time.
+"""Small-matrix linear algebra, column-vectorized and unrolled at trace
+time.
 
 XLA's generic LAPACK-style Cholesky is built for large matrices; for the
 nv×nv (≈6–40) mass matrices of articulated robots it is ~10× slower than
-an unrolled factorization whose every scalar op vectorizes across the env
-batch under ``vmap`` (measured on TPU v5: cho_factor 9 µs/env vs <1 µs
-unrolled at nv=18, batch 4096). All loops below are Python loops over a
-*static* dimension → they trace to straight-line VPU code.
+an unrolled factorization on TPU (measured: cho_factor 9 µs/env vs <1 µs
+unrolled at nv=18, batch 4096). The loops below are Python loops over the
+*static* dimension, but each iteration is a whole-column vector op —
+O(n) HLO instructions total, so compile time stays sane for humanoid-scale
+nv (a fully scalar-unrolled version stalled XLA's CPU backend at nv=30),
+and every op vectorizes across the env batch under ``vmap``.
 """
 
 from __future__ import annotations
@@ -15,56 +18,41 @@ import jax.numpy as jnp
 
 
 def cholesky(M: jax.Array, jitter: float = 0.0) -> jax.Array:
-    """Lower-triangular L with L Lᵀ = M, unrolled for small static n.
+    """Lower-triangular L with L Lᵀ = M (Cholesky–Crout, column at a time).
 
     Works on a single (n, n) matrix; batch via ``vmap``."""
     n = M.shape[-1]
     if jitter:
         M = M + jitter * jnp.eye(n, dtype=M.dtype)
-    # build rows as python lists of scalars → one stacked matrix at the end
-    L = [[None] * n for _ in range(n)]
+    L = jnp.zeros_like(M)
     for j in range(n):
-        s = M[j, j]
-        for k in range(j):
-            s = s - L[j][k] * L[j][k]
-        d = jnp.sqrt(jnp.maximum(s, 1e-12))
-        L[j][j] = d
-        inv_d = 1.0 / d
-        for i in range(j + 1, n):
-            s = M[i, j]
-            for k in range(j):
-                s = s - L[i][k] * L[j][k]
-            L[i][j] = s * inv_d
-    zero = jnp.zeros_like(M[0, 0])
-    rows = [
-        jnp.stack([L[i][j] if j <= i else zero for j in range(n)])
-        for i in range(n)
-    ]
-    return jnp.stack(rows)
+        # s = M[j:, j] − L[j:, :j] · L[j, :j]   (one matvec per column)
+        s = M[j:, j] - (L[j:, :j] @ L[j, :j] if j else 0.0)
+        d = jnp.sqrt(jnp.maximum(s[0], 1e-12))
+        col = s / d
+        col = col.at[0].set(d)
+        L = L.at[j:, j].set(col)
+    return L
 
 
 def solve_lower(L: jax.Array, b: jax.Array) -> jax.Array:
     """x with L x = b (L lower-triangular). b: (n,) or (n, m)."""
     n = L.shape[-1]
-    x = [None] * n
+    x = jnp.zeros_like(b)
     for i in range(n):
-        s = b[i]
-        for k in range(i):
-            s = s - L[i, k] * x[k]
-        x[i] = s / L[i, i]
-    return jnp.stack(x)
+        s = b[i] - (L[i, :i] @ x[:i] if i else 0.0)
+        x = x.at[i].set(s / L[i, i])
+    return x
 
 
 def solve_upper_t(L: jax.Array, b: jax.Array) -> jax.Array:
     """x with Lᵀ x = b (back substitution). b: (n,) or (n, m)."""
     n = L.shape[-1]
-    x = [None] * n
+    x = jnp.zeros_like(b)
     for i in range(n - 1, -1, -1):
-        s = b[i]
-        for k in range(i + 1, n):
-            s = s - L[k, i] * x[k]
-        x[i] = s / L[i, i]
-    return jnp.stack(x)
+        s = b[i] - (L[i + 1 :, i] @ x[i + 1 :] if i < n - 1 else 0.0)
+        x = x.at[i].set(s / L[i, i])
+    return x
 
 
 def cho_solve(L: jax.Array, b: jax.Array) -> jax.Array:

@@ -106,6 +106,22 @@ def build_robot(
     else:
         hw = tomllib.loads(Path(hardware).read_text())
 
+    # ---- flexible joints (inserted before anything indexes bodies) -------
+    # Reference: the hardware file lists flexibility frames with
+    # stiffness/damping/inertia (SURVEY.md §2.1 "Model": flexible joints)
+    for fname, cfg in hw.get("Flexibility", {}).items():
+        i = builder.insert_flexibility(
+            cfg.get("joint_name", fname),
+            stiffness=cfg.get("stiffness", 100.0),
+            damping=cfg.get("damping", 1.0),
+            inertia=cfg.get("inertia", 1e-3),
+        )
+        # body indices in the URDF link map shift past the insertion point
+        info = {
+            k: (kind, idx + 1 if kind == "body" and idx >= i else idx)
+            for k, (kind, idx) in info.items()
+        }
+
     # ---- contact frames → contact points on carrier bodies ---------------
     for cname in hw.get("Global", {}).get("contactFrameNames", []):
         kind, idx = _resolve(info, builder, cname)

@@ -1,0 +1,13 @@
+from jiminy_tpu.utils.random import (
+    PCG32,
+    PeriodicFourierProcess,
+    PeriodicGaussianProcess,
+    PerlinNoise,
+)
+
+__all__ = [
+    "PCG32",
+    "PeriodicFourierProcess",
+    "PeriodicGaussianProcess",
+    "PerlinNoise",
+]
