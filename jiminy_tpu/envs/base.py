@@ -80,6 +80,20 @@ class BaseEnv:
     def _action_to_command(self, action: jax.Array, sim: SimState) -> jax.Array:
         raise NotImplementedError
 
+    def _external_forces(self, state: "EnvState") -> jax.Array | None:
+        """Optional (nb, 6) local spatial wrenches applied during the next
+        step — the hook for push disturbances / force profiles (reference:
+        external forces & WalkerJiminyEnv pushes, SURVEY.md §2.1/§2.4)."""
+        return None
+
+    def _update_info(self, prev: "EnvState", nxt_sim: SimState, rng) -> dict:
+        """Optional per-step extra info entries (must keep a fixed pytree
+        structure between reset and step)."""
+        return {}
+
+    def _init_info(self, key) -> dict:
+        return {}
+
     # spaces metadata (sizes; bounds optional overrides)
     @property
     def action_size(self) -> int:
@@ -110,14 +124,17 @@ class BaseEnv:
             rng=k_run,
             # pre-auto-reset observation of the step that produced this
             # state — what a learner must bootstrap from on truncation
-            info={"final_obs": obs},
+            info={"final_obs": obs, **self._init_info(k_state)},
         )
 
     def step_no_reset(self, state: EnvState, action: jax.Array) -> EnvState:
         """One env step WITHOUT auto-reset (used by the adapter and tests)."""
-        rng, k_obs = jax.random.split(state.rng)
+        rng, k_obs, k_info = jax.random.split(state.rng, 3)
         u = self._action_to_command(action, state.sim)
-        sim = self.engine.step(state.sim, u, n_substeps=self.n_substeps)
+        fext = self._external_forces(state)
+        sim = self.engine.step(
+            state.sim, u, n_substeps=self.n_substeps, fext_user=fext
+        )
         obs = self._observe(sim, k_obs)
         reward = self._reward(state, action, sim)
         steps = state.steps + 1
@@ -131,6 +148,7 @@ class BaseEnv:
             truncated=truncated,
             steps=steps,
             rng=rng,
+            info={**state.info, **self._update_info(state, sim, k_info)},
         )
 
     def step(self, state: EnvState, action: jax.Array) -> EnvState:

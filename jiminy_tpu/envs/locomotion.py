@@ -1,0 +1,200 @@
+"""Locomotion env base — random terrain, external pushes, safety
+terminations.
+
+Reference: gym_jiminy's ``WalkerJiminyEnv`` — random ground profile,
+external push impulses/profiles, safety terminations on top of
+``BaseJiminyEnv`` (SURVEY.md §2.4 "Locomotion env base").
+
+TPU redesign:
+- ONE terrain heightmap is shared by the whole batch (memory: a per-env
+  grid would be GBs at batch 4096); per-env diversity comes from random
+  spawn positions over the map, randomized initial joints, and per-env
+  push schedules.
+- Pushes are device-resident state (info dict): each env samples
+  Bernoulli push onsets, a world-frame force on the base, and a duration;
+  the force enters the engine as an external wrench (§2.1 external
+  forces).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from jiminy_tpu.engine.engine import Engine, EngineOptions, SimState
+from jiminy_tpu.engine.ground import FlatGround
+from jiminy_tpu.envs.base import BaseEnv, EnvState
+from jiminy_tpu.math import so3
+from jiminy_tpu.robot import Robot
+
+
+class WalkerEnv(BaseEnv):
+    """Velocity-tracking locomotion for any legged Robot with motors and
+    foot contact points on a floating base.
+
+    Action: (nm,) PD target offsets around ``stand_pose`` in [-1, 1].
+    Observation: gravity dir (3) + base ang vel (3) + base lin vel (3)
+    [base-local] + motor positions rel. stand (nm) + scaled motor
+    velocities (nm).
+    """
+
+    def __init__(
+        self,
+        robot: Robot,
+        stand_pose,  # (nq,) nominal configuration (feet on flat ground)
+        step_dt: float = 0.02,
+        sim_dt: float = 2.5e-3,
+        max_steps: int = 1000,
+        kp: float = 80.0,
+        kd: float = 2.0,
+        action_scale: float = 0.5,
+        target_speed: float = 0.8,
+        pgs_iters: int = 8,
+        reset_noise: float = 0.1,
+        ground=None,
+        spawn_radius: float = 0.0,  # random spawn disk over the terrain
+        push_magnitude: float = 0.0,  # N; 0 disables pushes
+        push_prob: float = 0.01,  # per-step probability of a push onset
+        push_duration: float = 0.1,  # s
+        min_height: float = 0.3,
+        max_tilt_cos: float = 0.6,
+        engine_options: EngineOptions | None = None,
+    ):
+        self.robot = robot
+        self.kp, self.kd = kp, kd
+        self.action_scale = action_scale
+        self.target_speed = target_speed
+        self.reset_noise = reset_noise
+        self.spawn_radius = spawn_radius
+        self.push_magnitude = push_magnitude
+        self.push_prob = push_prob
+        self.push_steps = max(1, round(push_duration / step_dt))
+        self.min_height = min_height
+        self.max_tilt_cos = max_tilt_cos
+        self._q_stand = jnp.asarray(stand_pose)
+
+        motors = robot.motors
+        self._stand_targets, _ = motors.joint_state(
+            self._q_stand, jnp.zeros(robot.tree.nv)
+        )
+        kp_, kd_ = kp, kd
+
+        def pd_controller(cmd, q, v, t):
+            qm, vm = motors.joint_state(q, v)
+            return kp_ * (cmd - qm) - kd_ * vm
+
+        opts = engine_options or EngineOptions(
+            dt=sim_dt, contact_model="constraint", pgs_iters=pgs_iters
+        )
+        engine = Engine(
+            robot.tree,
+            opts,
+            ground=ground if ground is not None else FlatGround(),
+            motors=motors,
+            controller=pd_controller,
+        )
+        super().__init__(engine, step_dt=step_dt, max_steps=max_steps)
+
+    # ---- spawn / reset -----------------------------------------------------
+    def _sample_state(self, key):
+        tree = self.tree
+        k1, k2, k3 = jax.random.split(key, 3)
+        q = self._q_stand
+        nm = self.robot.nmotors
+        dq = self.reset_noise * jax.random.uniform(
+            k1, (nm,), minval=-1.0, maxval=1.0
+        )
+        qi = jnp.asarray(self.robot.motors.q_idx, jnp.int32)
+        q = q.at[qi].add(dq)
+        if self.spawn_radius > 0:
+            xy = self.spawn_radius * jax.random.uniform(
+                k3, (2,), minval=-1.0, maxval=1.0
+            )
+            h, _ = self.engine.ground.query(xy)
+            q = q.at[0:2].set(xy).at[2].add(h)
+        v = 0.1 * self.reset_noise * jax.random.normal(k2, (tree.nv,))
+        return q, v
+
+    # ---- pushes (device-resident schedule) ---------------------------------
+    def _init_info(self, key):
+        if self.push_magnitude <= 0.0:
+            return {}
+        return {
+            "push_force": jnp.zeros(3),
+            "push_steps_left": jnp.int32(0),
+        }
+
+    def _update_info(self, prev: EnvState, nxt_sim: SimState, rng) -> dict:
+        if self.push_magnitude <= 0.0:
+            return {}
+        k1, k2 = jax.random.split(rng)
+        start = (
+            jax.random.bernoulli(k1, self.push_prob)
+            & (prev.info["push_steps_left"] <= 0)
+        )
+        theta = jax.random.uniform(k2, (), minval=0.0, maxval=2 * jnp.pi)
+        new_force = self.push_magnitude * jnp.array(
+            [jnp.cos(theta), jnp.sin(theta), 0.0]
+        )
+        left = prev.info["push_steps_left"]
+        return {
+            "push_force": jnp.where(start, new_force, prev.info["push_force"]),
+            "push_steps_left": jnp.where(
+                start, jnp.int32(self.push_steps), jnp.maximum(left - 1, 0)
+            ),
+        }
+
+    def _external_forces(self, state: EnvState):
+        if self.push_magnitude <= 0.0:
+            return None
+        tree = self.tree
+        active = state.info["push_steps_left"] > 0
+        f_world = jnp.where(active, 1.0, 0.0) * state.info["push_force"]
+        # world force at the base origin → local wrench on body 0
+        R = so3.quat_to_matrix(state.sim.q[3:7])
+        fext = jnp.zeros((tree.nb, 6))
+        return fext.at[0, 3:].set(R.T @ f_world)
+
+    # ---- MDP ---------------------------------------------------------------
+    def _base_frames(self, sim: SimState):
+        R = so3.quat_to_matrix(sim.q[3:7])
+        grav_b = R.T @ jnp.array([0.0, 0.0, -1.0])
+        return R, grav_b, sim.v[3:6], sim.v[0:3]
+
+    def _observe(self, sim: SimState, rng):
+        _, grav_b, w_b, v_b = self._base_frames(sim)
+        qm, vm = self.robot.motors.joint_state(sim.q, sim.v)
+        return jnp.concatenate(
+            [grav_b, w_b, v_b, qm - self._stand_targets, 0.1 * vm]
+        )
+
+    def _action_to_command(self, action, sim):
+        action = jnp.clip(action, -1.0, 1.0)
+        return self._stand_targets + self.action_scale * action
+
+    def _reward(self, prev, action, sim: SimState) -> jax.Array:
+        R, grav_b, w_b, v_b = self._base_frames(sim)
+        v_world = R @ v_b
+        track = jnp.exp(-jnp.square(v_world[0] - self.target_speed) / 0.25)
+        upright = -grav_b[2]
+        lateral = jnp.square(v_world[1]) + 0.5 * jnp.square(w_b[2])
+        ctrl = jnp.sum(jnp.square(action))
+        return (
+            1.0 * track
+            + 0.5 * upright
+            - 0.1 * lateral
+            - 0.005 * ctrl
+            - 0.05 * jnp.square(v_world[2])
+        )
+
+    def _terminated(self, sim: SimState) -> jax.Array:
+        _, grav_b, _, _ = self._base_frames(sim)
+        fallen = grav_b[2] > -self.max_tilt_cos
+        # height above local ground
+        h, _ = self.engine.ground.query(sim.q[:2])
+        low = (sim.q[2] - h) < self.min_height
+        return fallen | low
+
+    @property
+    def action_size(self) -> int:
+        return self.robot.nmotors
