@@ -65,6 +65,12 @@ class EngineOptions:
     pgs_relax: float = 1.0
     pgs_reg: float = 1e-6
     contact_baumgarte_freq: float = 20.0
+    # cap on the Baumgarte position-correction velocity (m/s) and
+    # penetration slop (m): prevents the stabilization from *launching*
+    # bodies after deep impacts (Baumgarte bounce) while still removing
+    # steady-state penetration down to the slop
+    contact_max_correction_vel: float = 0.2
+    contact_slop: float = 1e-3
     # joint position bounds: "penalty" (spring-damper torque), "constraint"
     # (PGS rows — the reference's bounds-as-constraints, SURVEY.md §2.1
     # "Model"), or "auto" (constraint on the impulse path, else penalty)
@@ -353,13 +359,18 @@ class Engine:
             alpha = cstr.baumgarte_alpha(
                 jnp.float32(opts.contact_baumgarte_freq), dt
             )
+            v_corr = jnp.clip(
+                alpha / dt * (depth - opts.contact_slop),
+                0.0,
+                opts.contact_max_correction_vel,
+            )
             for k in range(tree.ncp):
                 b = tree.contact_body[k]
                 Jp = algos.point_jacobian(tree, xw, b, pts[k])
                 Jc = jnp.stack([t1[k] @ Jp, t2[k] @ Jp, n[k] @ Jp])
                 Js.append(Jc)
                 targets.append(
-                    jnp.array([0.0, 0.0, 1.0], q.dtype) * (alpha / dt * depth[k])
+                    jnp.array([0.0, 0.0, 1.0], q.dtype) * v_corr[k]
                 )
                 actives.append(jnp.repeat(depth[k] > 0.0, 3))
                 mu_parts.append(

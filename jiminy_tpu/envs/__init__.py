@@ -4,5 +4,22 @@ from jiminy_tpu.envs.base import BaseEnv, EnvState
 from jiminy_tpu.envs.cartpole import CartPoleEnv
 from jiminy_tpu.envs.acrobot import AcrobotEnv
 from jiminy_tpu.envs.anymal import ANYmalEnv
+from jiminy_tpu.envs.locomotion import WalkerEnv
+from jiminy_tpu.envs.legged import AntEnv, AtlasEnv, CassieEnv, SpotmicroEnv
+from jiminy_tpu.envs.pipeline import build_pipeline
+from jiminy_tpu.envs.registration import register_envs
 
-__all__ = ["BaseEnv", "EnvState", "CartPoleEnv", "AcrobotEnv", "ANYmalEnv"]
+__all__ = [
+    "BaseEnv",
+    "EnvState",
+    "CartPoleEnv",
+    "AcrobotEnv",
+    "ANYmalEnv",
+    "WalkerEnv",
+    "AntEnv",
+    "AtlasEnv",
+    "CassieEnv",
+    "SpotmicroEnv",
+    "build_pipeline",
+    "register_envs",
+]

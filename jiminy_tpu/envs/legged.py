@@ -1,0 +1,102 @@
+"""Concrete legged envs: Cassie, Atlas, Ant, Spotmicro.
+
+Reference: the gym_jiminy env zoo — ``CassieJiminyEnv`` (closed loops),
+``AtlasJiminyEnv`` (humanoid), ``AntJiminyEnv``, ``SpotmicroJiminyEnv``
+(SURVEY.md §2.5). Each is a thin :class:`WalkerEnv` configuration; the
+flagship :class:`ANYmalEnv` lives in envs/anymal.py.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from jiminy_tpu.envs.locomotion import WalkerEnv
+
+
+class CassieEnv(WalkerEnv):
+    """Biped with pushrod closed loops (DistanceConstraints in the PGS)
+    and passive shin springs (BASELINE.json config #4)."""
+
+    def __init__(self, step_dt: float = 0.02, sim_dt: float = 1e-3, **kwargs):
+        from jiminy_tpu.models.biped import make_cassie
+
+        robot, constraints, stand = make_cassie()
+        super().__init__(
+            robot,
+            stand_pose=jnp.asarray(stand),
+            step_dt=step_dt,
+            sim_dt=sim_dt,
+            kp=kwargs.pop("kp", 150.0),
+            kd=kwargs.pop("kd", 6.0),
+            action_scale=kwargs.pop("action_scale", 0.4),
+            min_height=kwargs.pop("min_height", 0.6),
+            constraints=constraints,
+            **kwargs,
+        )
+
+
+class AtlasEnv(WalkerEnv):
+    """Humanoid locomotion (BASELINE.json config #5: multi-host PPO)."""
+
+    def __init__(self, step_dt: float = 0.02, sim_dt: float = 2e-3, **kwargs):
+        from jiminy_tpu.models.humanoid import atlas_stand_q, make_atlas
+
+        robot = make_atlas()
+        super().__init__(
+            robot,
+            stand_pose=jnp.asarray(atlas_stand_q(robot.tree)),
+            step_dt=step_dt,
+            sim_dt=sim_dt,
+            kp=kwargs.pop("kp", 300.0),
+            kd=kwargs.pop("kd", 15.0),
+            action_scale=kwargs.pop("action_scale", 0.4),
+            min_height=kwargs.pop("min_height", 0.55),
+            target_speed=kwargs.pop("target_speed", 0.5),
+            **kwargs,
+        )
+
+
+class AntEnv(WalkerEnv):
+    """Splayed-leg quadruped (classic benchmark)."""
+
+    def __init__(self, step_dt: float = 0.05, sim_dt: float = 2.5e-3, **kwargs):
+        from jiminy_tpu.models.ant import make_ant
+
+        robot, stand = make_ant()
+        super().__init__(
+            robot,
+            stand_pose=jnp.asarray(stand),
+            step_dt=step_dt,
+            sim_dt=sim_dt,
+            kp=kwargs.pop("kp", 15.0),
+            kd=kwargs.pop("kd", 0.8),
+            action_scale=kwargs.pop("action_scale", 0.5),
+            min_height=kwargs.pop("min_height", 0.12),
+            target_speed=kwargs.pop("target_speed", 1.0),
+            **kwargs,
+        )
+
+
+class SpotmicroEnv(WalkerEnv):
+    """Small hobby quadruped."""
+
+    def __init__(self, step_dt: float = 0.02, sim_dt: float = 1e-3, **kwargs):
+        from jiminy_tpu.models.quadruped import (
+            SPOTMICRO,
+            make_spotmicro,
+            stand_q,
+        )
+
+        robot = make_spotmicro()
+        super().__init__(
+            robot,
+            stand_pose=jnp.asarray(stand_q(robot.tree, SPOTMICRO)),
+            step_dt=step_dt,
+            sim_dt=sim_dt,
+            kp=kwargs.pop("kp", 4.0),
+            kd=kwargs.pop("kd", 0.1),
+            action_scale=kwargs.pop("action_scale", 0.4),
+            min_height=kwargs.pop("min_height", 0.08),
+            target_speed=kwargs.pop("target_speed", 0.3),
+            **kwargs,
+        )

@@ -59,6 +59,7 @@ class WalkerEnv(BaseEnv):
         min_height: float = 0.3,
         max_tilt_cos: float = 0.6,
         engine_options: EngineOptions | None = None,
+        constraints: tuple = (),
     ):
         self.robot = robot
         self.kp, self.kd = kp, kd
@@ -92,6 +93,7 @@ class WalkerEnv(BaseEnv):
             ground=ground if ground is not None else FlatGround(),
             motors=motors,
             controller=pd_controller,
+            constraints=constraints,
         )
         super().__init__(engine, step_dt=step_dt, max_steps=max_steps)
 

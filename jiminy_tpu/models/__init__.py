@@ -8,6 +8,18 @@ from jiminy_tpu.models.toys import (
     make_acrobot,
     make_free_box,
 )
+from jiminy_tpu.models.quadruped import (
+    ANYMAL,
+    SPOTMICRO,
+    QuadrupedParams,
+    make_anymal,
+    make_quadruped,
+    make_spotmicro,
+    stand_q,
+)
+from jiminy_tpu.models.humanoid import ATLAS, atlas_stand_q, make_atlas
+from jiminy_tpu.models.biped import make_cassie
+from jiminy_tpu.models.ant import make_ant
 
 __all__ = [
     "make_pendulum",
@@ -15,4 +27,16 @@ __all__ = [
     "make_cartpole",
     "make_acrobot",
     "make_free_box",
+    "QuadrupedParams",
+    "ANYMAL",
+    "SPOTMICRO",
+    "make_anymal",
+    "make_quadruped",
+    "make_spotmicro",
+    "stand_q",
+    "ATLAS",
+    "make_atlas",
+    "atlas_stand_q",
+    "make_cassie",
+    "make_ant",
 ]

@@ -17,6 +17,8 @@ Morphology (ANYmal-B-like, 12 actuated DoF):
 
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
 
 from jiminy_tpu.robot import Robot, build_robot
@@ -24,15 +26,60 @@ from jiminy_tpu.robot import Robot, build_robot
 # leg name → (x sign, y sign)
 _LEGS = {"LF": (1, 1), "RF": (1, -1), "LH": (-1, 1), "RH": (-1, -1)}
 
-_BASE_MASS = 16.8
-_HIP_MASS = 1.4
-_THIGH_MASS = 1.1
-_SHANK_MASS = 0.3
-_FOOT_MASS = 0.1
-_HIP_X, _HIP_Y = 0.277, 0.116  # HAA positions on the base
-_HFE_OFF_X, _HFE_OFF_Y = 0.0635, 0.041  # HFE offset from HAA frame
-_THIGH_LEN = 0.25
-_SHANK_LEN = 0.33
+
+@dataclasses.dataclass(frozen=True)
+class QuadrupedParams:
+    """Morphology parameters; the generator serves any quadruped of this
+    family (ANYmal, Spotmicro — reference assets, SURVEY.md §1)."""
+
+    name: str = "anymal"
+    base_mass: float = 16.8
+    base_dims: tuple = (0.53, 0.3, 0.24)
+    hip_mass: float = 1.4
+    thigh_mass: float = 1.1
+    shank_mass: float = 0.3
+    foot_mass: float = 0.1
+    hip_x: float = 0.277
+    hip_y: float = 0.116
+    hfe_off_x: float = 0.0635
+    hfe_off_y: float = 0.041
+    thigh_len: float = 0.25
+    shank_len: float = 0.33
+    effort: float = 40.0
+    velocity: float = 12.0
+    armature: float = 0.07
+    friction_dry: float = 0.2
+    friction_viscous: float = 0.05
+    stand_hfe: float = 0.4
+    stand_kfe: float = -0.8
+
+
+ANYMAL = QuadrupedParams()
+SPOTMICRO = QuadrupedParams(
+    name="spotmicro",
+    base_mass=1.2,
+    base_dims=(0.25, 0.11, 0.07),
+    hip_mass=0.12,
+    thigh_mass=0.09,
+    shank_mass=0.04,
+    foot_mass=0.01,
+    hip_x=0.093,
+    hip_y=0.039,
+    hfe_off_x=0.0,
+    hfe_off_y=0.028,
+    thigh_len=0.11,
+    shank_len=0.13,
+    effort=2.0,
+    velocity=8.0,
+    armature=0.002,
+    friction_dry=0.02,
+    friction_viscous=0.005,
+)
+
+_BASE_MASS = ANYMAL.base_mass
+_HIP_X, _HIP_Y = ANYMAL.hip_x, ANYMAL.hip_y
+_THIGH_LEN = ANYMAL.thigh_len
+_SHANK_LEN = ANYMAL.shank_len
 
 
 def _box_inertia(m, x, y, z):
@@ -43,8 +90,8 @@ def _box_inertia(m, x, y, z):
     )
 
 
-def anymal_urdf() -> str:
-    """Generate the quadruped URDF document."""
+def quadruped_urdf(p: QuadrupedParams) -> str:
+    """Generate a quadruped URDF document from morphology parameters."""
 
     def link(name, mass, com, ixx, iyy, izz):
         return f"""  <link name="{name}">
@@ -56,7 +103,7 @@ def anymal_urdf() -> str:
   </link>"""
 
     def joint(name, jtype, parent, child, xyz, axis=None, lower=None,
-              upper=None, effort=40.0, velocity=12.0, damping=0.0):
+              upper=None, effort=p.effort, velocity=p.velocity, damping=0.0):
         ax = f'\n    <axis xyz="{axis}"/>' if axis else ""
         lim = ""
         if jtype == "revolute":
@@ -71,49 +118,56 @@ def anymal_urdf() -> str:
     <child link="{child}"/>{ax}{lim}{dyn}
   </joint>"""
 
-    bi = _box_inertia(_BASE_MASS, 0.53, 0.3, 0.24)
+    bi = _box_inertia(p.base_mass, *p.base_dims)
     parts = [
-        "<robot name=\"anymal\">",
-        link("base", _BASE_MASS, (0, 0, 0), *bi),
+        f'<robot name="{p.name}">',
+        link("base", p.base_mass, (0, 0, 0), *bi),
     ]
+    hip_w = p.base_dims[1] / 3.0
     for leg, (sx, sy) in _LEGS.items():
         hip = f"{leg}_HIP"
         thigh = f"{leg}_THIGH"
         shank = f"{leg}_SHANK"
         foot = f"{leg}_FOOT"
-        hi = _box_inertia(_HIP_MASS, 0.1, 0.1, 0.1)
-        ti = _box_inertia(_THIGH_MASS, 0.04, 0.04, _THIGH_LEN)
-        si = _box_inertia(_SHANK_MASS, 0.03, 0.03, _SHANK_LEN)
+        hi = _box_inertia(p.hip_mass, hip_w, hip_w, hip_w)
+        ti = _box_inertia(p.thigh_mass, 0.04, 0.04, p.thigh_len)
+        si = _box_inertia(p.shank_mass, 0.03, 0.03, p.shank_len)
         parts += [
-            link(hip, _HIP_MASS, (0, sy * 0.02, 0), *hi),
-            link(thigh, _THIGH_MASS, (0, 0, -_THIGH_LEN / 2), *ti),
-            link(shank, _SHANK_MASS, (0, 0, -_SHANK_LEN / 2), *si),
-            link(foot, _FOOT_MASS, (0, 0, 0), 1e-5, 1e-5, 1e-5),
+            link(hip, p.hip_mass, (0, sy * 0.02, 0), *hi),
+            link(thigh, p.thigh_mass, (0, 0, -p.thigh_len / 2), *ti),
+            link(shank, p.shank_mass, (0, 0, -p.shank_len / 2), *si),
+            link(foot, p.foot_mass, (0, 0, 0), 1e-5, 1e-5, 1e-5),
             joint(
                 f"{leg}_HAA", "revolute", "base", hip,
-                (sx * _HIP_X, sy * _HIP_Y, 0.0), axis="1 0 0",
+                (sx * p.hip_x, sy * p.hip_y, 0.0), axis="1 0 0",
                 lower=-0.72, upper=0.72,
             ),
             joint(
                 f"{leg}_HFE", "revolute", hip, thigh,
-                (sx * _HFE_OFF_X, sy * _HFE_OFF_Y, 0.0), axis="0 1 0",
+                (sx * p.hfe_off_x, sy * p.hfe_off_y, 0.0), axis="0 1 0",
                 lower=-3.0, upper=3.0,
             ),
             joint(
                 f"{leg}_KFE", "revolute", thigh, shank,
-                (0.0, 0.0, -_THIGH_LEN), axis="0 1 0",
+                (0.0, 0.0, -p.thigh_len), axis="0 1 0",
                 lower=-3.0, upper=3.0,
             ),
             joint(
                 f"{leg}_FOOT_JOINT", "fixed", shank, foot,
-                (0.0, 0.0, -_SHANK_LEN),
+                (0.0, 0.0, -p.shank_len),
             ),
         ]
     parts.append("</robot>")
     return "\n".join(parts)
 
 
-def anymal_hardware(
+def anymal_urdf() -> str:
+    """The ANYmal-class instance of the quadruped family."""
+    return quadruped_urdf(ANYMAL)
+
+
+def quadruped_hardware(
+    p: QuadrupedParams,
     sensor_delay: float = 0.0,
     imu_noise: float = 0.0,
     encoder_noise: float = 0.0,
@@ -126,11 +180,11 @@ def anymal_hardware(
             motors[jn] = {
                 "joint_name": jn,
                 "mechanicalReduction": 1.0,
-                "armature": 0.07,
-                "frictionDry": 0.2,
-                "frictionViscous": 0.05,
-                "effortLimit": 40.0,
-                "velocityLimit": 12.0,
+                "armature": p.armature,
+                "frictionDry": p.friction_dry,
+                "frictionViscous": p.friction_viscous,
+                "effortLimit": p.effort,
+                "velocityLimit": p.velocity,
             }
             encoders[jn] = {
                 "joint_name": jn,
@@ -161,38 +215,67 @@ def anymal_hardware(
     }
 
 
+def anymal_hardware(
+    sensor_delay: float = 0.0, imu_noise: float = 0.0, encoder_noise: float = 0.0
+) -> dict:
+    return quadruped_hardware(
+        ANYMAL, sensor_delay=sensor_delay, imu_noise=imu_noise,
+        encoder_noise=encoder_noise,
+    )
+
+
 # standing configuration: legs in X-shape, knees bent inward
 _STAND_HFE = 0.4
 _STAND_KFE = -0.8
 STAND_HEIGHT = 0.57
 
 
-def stand_q(tree) -> np.ndarray:
+def stand_q(tree, params: QuadrupedParams = ANYMAL) -> np.ndarray:
     """Nominal standing configuration (freeflyer + 12 joints)."""
     q = np.zeros(tree.nq, dtype=np.float32)
-    q[2] = STAND_HEIGHT
+    hfe, kfe = params.stand_hfe, params.stand_kfe
+    # stand height: hip height with both segments bent
+    q[2] = (
+        params.thigh_len * np.cos(hfe)
+        + params.shank_len * np.cos(hfe + kfe)
+        + 0.01
+    )
     q[6] = 1.0  # identity quaternion (xyzw)
     for leg, (sx, _sy) in _LEGS.items():
-        q[tree.q_off[tree.joint_index(f"{leg}_HFE")]] = sx * _STAND_HFE
-        q[tree.q_off[tree.joint_index(f"{leg}_KFE")]] = sx * _STAND_KFE
+        q[tree.q_off[tree.joint_index(f"{leg}_HFE")]] = sx * hfe
+        q[tree.q_off[tree.joint_index(f"{leg}_KFE")]] = sx * kfe
     return q
 
 
-def make_anymal(
+def make_quadruped(
+    params: QuadrupedParams,
     sensor_period: float = 0.0025,
     sensor_delay: float = 0.0,
     imu_noise: float = 0.0,
     encoder_noise: float = 0.0,
 ) -> Robot:
-    """Build the quadruped through the URDF + hardware pipeline."""
+    """Build a quadruped of this family through the URDF + hardware
+    pipeline."""
     return build_robot(
-        anymal_urdf(),
-        hardware=anymal_hardware(
+        quadruped_urdf(params),
+        hardware=quadruped_hardware(
+            params,
             sensor_delay=sensor_delay,
             imu_noise=imu_noise,
             encoder_noise=encoder_noise,
         ),
         freeflyer=True,
         sensor_period=sensor_period,
-        name="anymal",
+        name=params.name,
     )
+
+
+def make_anymal(**kwargs) -> Robot:
+    """Build the ANYmal-class flagship quadruped."""
+    return make_quadruped(ANYMAL, **kwargs)
+
+
+def make_spotmicro(**kwargs) -> Robot:
+    """Build the Spotmicro-class small quadruped (reference env
+    SpotmicroJiminyEnv, SURVEY.md §2.5)."""
+    return make_quadruped(SPOTMICRO, **kwargs)

@@ -122,6 +122,15 @@ def build_robot(
             for k, (kind, idx) in info.items()
         }
 
+    # ---- 1-DoF joint springs (e.g. Cassie shin springs) -------------------
+    # [JointSpring.<name>] joint_name, stiffness, damping
+    for sname, cfg in hw.get("JointSpring", {}).items():
+        jidx = builder.joint_name.index(cfg.get("joint_name", sname))
+        builder.stiffness[jidx][:] = float(cfg.get("stiffness", 0.0))
+        builder.damping[jidx][:] = np.maximum(
+            builder.damping[jidx], float(cfg.get("damping", 0.0))
+        )
+
     # ---- contact frames → contact points on carrier bodies ---------------
     for cname in hw.get("Global", {}).get("contactFrameNames", []):
         kind, idx = _resolve(info, builder, cname)
@@ -132,6 +141,21 @@ def build_robot(
             body, pos = idx, np.zeros(3, np.float32)
         if body < 0:
             raise ValueError(f"contact frame {cname!r} attached to the world")
+        builder.add_contact_point(cname, body, pos)
+
+    # explicit contact points with offsets from a link/frame:
+    # [Global] contactPoints = {name: {frame_name, pos = [x, y, z]}}
+    for cname, cfg in hw.get("Global", {}).get("contactPoints", {}).items():
+        kind, idx = _resolve(info, builder, cfg["frame_name"])
+        off = np.asarray(cfg.get("pos", (0.0, 0.0, 0.0)), np.float32)
+        if kind == "frame":
+            body = builder.frame_body[idx]
+            T = builder.fp[idx]
+            pos = T[:3, :3] @ off + T[:3, 3]
+        else:
+            body, pos = idx, off
+        if body < 0:
+            raise ValueError(f"contact point {cname!r} attached to the world")
         builder.add_contact_point(cname, body, pos)
 
     # ---- motors (armature folded into the builder pre-build) -------------
