@@ -154,6 +154,79 @@ class KinematicTree(struct.PyTreeNode):
         return slice(self.v_off[i], self.v_off[i] + JOINT_NV[self.joint_type[i]])
 
 
+def merge_trees(
+    trees: Sequence[KinematicTree], prefixes: Sequence[str] | None = None
+) -> KinematicTree:
+    """Merge robots into one forest tree (multiple parent=-1 roots).
+
+    The reference Engine owns SEVERAL robots in one simulation with
+    coupling forces between them (SURVEY.md §2.1 "Engine",
+    post-EngineMultiRobot merge). On TPU the natural equivalent is one
+    compiled program over the union forest: all rigid-body algorithms here
+    already handle multi-root trees. Body/joint/frame names are prefixed
+    per robot ("robot0/...", or the given prefixes)."""
+    import numpy as onp
+
+    if prefixes is None:
+        prefixes = [f"robot{i}/" for i in range(len(trees))]
+
+    def cat(xs, width=None):
+        arrs = [onp.asarray(x) for x in xs]
+        return jnp.asarray(onp.concatenate(arrs, axis=0))
+
+    parent, jtype, q_off, v_off = [], [], [], []
+    body_name, joint_name, frame_body, frame_name = [], [], [], []
+    contact_body, contact_frame_name = [], []
+    b_off = q_base = v_base = 0
+    for t, pre in zip(trees, prefixes):
+        parent += [p + b_off if p >= 0 else -1 for p in t.parent]
+        jtype += list(t.joint_type)
+        q_off += [o + q_base for o in t.q_off]
+        v_off += [o + v_base for o in t.v_off]
+        body_name += [pre + n for n in t.body_name]
+        joint_name += [pre + n for n in t.joint_name]
+        frame_body += [b + b_off for b in t.frame_body]
+        frame_name += [pre + n for n in t.frame_name]
+        contact_body += [b + b_off for b in t.contact_body]
+        contact_frame_name += [pre + n for n in t.contact_frame_name]
+        b_off += t.nb
+        q_base += t.nq
+        v_base += t.nv
+
+    return KinematicTree(
+        nb=b_off,
+        nq=q_base,
+        nv=v_base,
+        parent=tuple(parent),
+        joint_type=tuple(jtype),
+        q_off=tuple(q_off),
+        v_off=tuple(v_off),
+        body_name=tuple(body_name),
+        joint_name=tuple(joint_name),
+        frame_body=tuple(frame_body),
+        frame_name=tuple(frame_name),
+        contact_body=tuple(contact_body),
+        contact_frame_name=tuple(contact_frame_name),
+        jp_rot=cat([t.jp_rot for t in trees]),
+        jp_pos=cat([t.jp_pos for t in trees]),
+        axis=cat([t.axis for t in trees]),
+        inertia_mass=cat([t.inertia_mass for t in trees]),
+        inertia_h=cat([t.inertia_h for t in trees]),
+        inertia_mat=cat([t.inertia_mat for t in trees]),
+        armature=cat([t.armature for t in trees]),
+        damping=cat([t.damping for t in trees]),
+        stiffness=cat([t.stiffness for t in trees]),
+        q_min=cat([t.q_min for t in trees]),
+        q_max=cat([t.q_max for t in trees]),
+        v_max=cat([t.v_max for t in trees]),
+        u_max=cat([t.u_max for t in trees]),
+        gravity=trees[0].gravity,
+        fp_rot=cat([t.fp_rot for t in trees]),
+        fp_pos=cat([t.fp_pos for t in trees]),
+        contact_pos=cat([t.contact_pos for t in trees]),
+    )
+
+
 def map_configuration(
     src: KinematicTree, dst: KinematicTree, q_src: jax.Array
 ) -> jax.Array:

@@ -33,6 +33,7 @@ from jiminy_tpu.engine.contact import (
     compute_contact_fext,
     contact_points_world,
 )
+from jiminy_tpu.engine.forces import compute_forces as compute_registered_forces
 from jiminy_tpu.engine.ground import FlatGround
 from jiminy_tpu.engine.solver import BlockSpec, pgs_solve
 from jiminy_tpu.math import linalg
@@ -101,12 +102,16 @@ class Engine:
         constraints: tuple = (),
         motors=None,
         controller: Optional[Callable] = None,
+        forces: tuple = (),
     ):
         self.tree = tree
         self.options = options or EngineOptions()
         self.ground = ground if ground is not None else FlatGround()
         self.internal_dynamics = internal_dynamics
         self.constraints = tuple(constraints)
+        # registered external forces: impulses, profiles, couplings
+        # (reference: registerImpulseForce/ProfileForce/ForceCoupling)
+        self.forces = tuple(forces)
         # optional motor bank: when set, ``step``'s command is motor-side
         # (nm,) and is mapped to joint torque per substep (reference:
         # Robot = Model + hardware, SURVEY.md §2.1 "Robot"/"Motors")
@@ -258,6 +263,10 @@ class Engine:
         fext, f_contact = compute_contact_fext(
             tree, xw, vel, ground, self.options.contacts
         )
+        if self.forces:
+            fext = fext + compute_registered_forces(
+                tree, self.forces, t, xw, vel, q.dtype
+            )
         if fext_user is not None:
             fext = fext + fext_user
         tau = self._joint_torque(u, q, v, t)
@@ -290,6 +299,11 @@ class Engine:
         tau = self._joint_torque(u, q, v, t)
 
         fext = fext_user
+        if self.forces:
+            fext_reg = compute_registered_forces(
+                tree, self.forces, t, xw, vel, q.dtype
+            )
+            fext = fext_reg if fext is None else fext + fext_reg
         f_contact_sd = jnp.zeros((tree.ncp, 3), dtype=q.dtype)
         if opts.contact_model == "spring_damper" and tree.ncp > 0:
             fext_c, f_contact_sd = compute_contact_fext(
