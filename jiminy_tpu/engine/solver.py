@@ -95,3 +95,75 @@ def pgs_solve(
         jnp.where(active, jnp.abs(b - A @ lam), 0.0), initial=0.0
     )
     return lam, residual
+
+
+def pgs_solve_grouped(
+    A: jax.Array,
+    b: jax.Array,
+    mu: jax.Array,
+    active: jax.Array,
+    eq_blocks: Sequence[BlockSpec],
+    bounds_idx,  # (nb_rows,) int array or None — unilateral λ ≥ 0 rows
+    contact_colors: Sequence[Sequence[int]],  # per color: contact row starts
+    iters: int = 16,
+    relax: float = 1.0,
+    lam0: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Latency-optimized PGS: same math as :func:`pgs_solve`, but rows that
+    barely couple update TOGETHER (projected Jacobi within a group) while
+    groups update sequentially (Gauss-Seidel between groups):
+
+    - all joint-bound rows in one vectorized step per sweep,
+    - contacts in ``contact_colors`` (e.g. diagonal leg pairs) — within a
+      color the three rows (t1, t2, n) update as stacked vector ops.
+
+    This cuts the sequential dependency chain ~4× (the TPU cost of PGS is
+    chain latency of tiny ops, not FLOPs)."""
+    nc = A.shape[0]
+    lam = jnp.zeros(nc, dtype=A.dtype) if lam0 is None else lam0
+    lam = jnp.where(active, lam, 0.0)
+    diag = jnp.maximum(jnp.diagonal(A), 1e-8)
+
+    color_idx = [
+        (
+            jnp.asarray([s for s in color], dtype=jnp.int32),  # t1 rows
+            jnp.asarray([s + 1 for s in color], dtype=jnp.int32),
+            jnp.asarray([s + 2 for s in color], dtype=jnp.int32),
+        )
+        for color in contact_colors
+        if len(color)
+    ]
+
+    def row_update(lam, idx, lo=None):
+        r = b[idx] - A[idx] @ lam
+        li = lam[idx] + relax * r / diag[idx]
+        if lo is not None:
+            li = jnp.maximum(li, lo)
+        return jnp.where(active[idx], li, 0.0)
+
+    def sweep(lam, _):
+        for blk in eq_blocks:
+            for i in range(blk.start, blk.start + blk.size):
+                r = b[i] - A[i] @ lam
+                li = lam[i] + relax * r / diag[i]
+                lam = lam.at[i].set(jnp.where(active[i], li, 0.0))
+        if bounds_idx is not None:
+            lam = lam.at[bounds_idx].set(row_update(lam, bounds_idx, lo=0.0))
+        for i_t1, i_t2, i_n in color_idx:
+            lam = lam.at[i_n].set(row_update(lam, i_n, lo=0.0))
+            lam = lam.at[i_t1].set(row_update(lam, i_t1))
+            lam = lam.at[i_t2].set(row_update(lam, i_t2))
+            # friction-cone projection, vectorized over the color
+            lt = jnp.stack([lam[i_t1], lam[i_t2]])  # (2, k)
+            tn = jnp.linalg.norm(lt, axis=0)
+            lim = mu[i_n] * lam[i_n]
+            scale = jnp.where(tn > lim, lim / jnp.maximum(tn, 1e-12), 1.0)
+            lam = lam.at[i_t1].set(lt[0] * scale)
+            lam = lam.at[i_t2].set(lt[1] * scale)
+        return lam, None
+
+    lam, _ = jax.lax.scan(sweep, lam, None, length=iters)
+    residual = jnp.max(
+        jnp.where(active, jnp.abs(b - A @ lam), 0.0), initial=0.0
+    )
+    return lam, residual

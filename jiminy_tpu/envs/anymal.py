@@ -30,7 +30,7 @@ class ANYmalEnv(WalkerEnv):
     def __init__(
         self,
         step_dt: float = 0.02,
-        sim_dt: float = 2.5e-3,
+        sim_dt: float = 5e-3,
         max_steps: int = 1000,
         kp: float = 80.0,
         kd: float = 2.0,
