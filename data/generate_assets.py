@@ -29,6 +29,13 @@ def _toml_value(v):
     return f'"{v}"'
 
 
+def _toml_key(k: str) -> str:
+    """Quote keys that are not bare TOML keys (dots, signs, …)."""
+    import re
+
+    return k if re.fullmatch(r"[A-Za-z0-9_-]+", k) else f'"{k}"'
+
+
 def write_hardware_toml(path, hw: dict) -> None:
     """Serialize a hardware dict using the reference's section layout."""
     lines = []
@@ -39,10 +46,10 @@ def write_hardware_toml(path, hw: dict) -> None:
         if scalars:
             lines.append(f"[{prefix}]")
             for k, v in scalars.items():
-                lines.append(f"{k} = {_toml_value(v)}")
+                lines.append(f"{_toml_key(k)} = {_toml_value(v)}")
             lines.append("")
         for k, v in subs.items():
-            emit(f"{prefix}.{k}", v)
+            emit(f"{prefix}.{_toml_key(k)}", v)
 
     for section, content in hw.items():
         emit(section, content)

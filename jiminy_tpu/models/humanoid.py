@@ -170,12 +170,16 @@ def humanoid_hardware(p: HumanoidParams = ATLAS) -> dict:
     # foot sole corner contact points, offset from the foot links
     contacts = {}
     for side in ("l", "r"):
-        for cx in (-p.foot_len / 2 + 0.03, p.foot_len / 2 + 0.03):
-            for cy in (-p.foot_w / 2, p.foot_w / 2):
-                contacts[f"{side}_foot_{cx:+.2f}_{cy:+.2f}"] = {
-                    "frame_name": f"{side}_foot",
-                    "pos": [cx, cy, -p.ankle_h],
-                }
+        corners = [
+            (cx, cy)
+            for cx in (-p.foot_len / 2 + 0.03, p.foot_len / 2 + 0.03)
+            for cy in (-p.foot_w / 2, p.foot_w / 2)
+        ]
+        for i, (cx, cy) in enumerate(corners):
+            contacts[f"{side}_foot_corner{i}"] = {
+                "frame_name": f"{side}_foot",
+                "pos": [cx, cy, -p.ankle_h],
+            }
     return {
         "Global": {"contactFrameNames": [], "contactPoints": contacts},
         "Motor": {"SimpleMotor": motors},

@@ -34,7 +34,10 @@ class TestAssets:
         )
         assert sim.robot.nmotors == 12
         assert sim.tree.ncp == 4
-        assert float(sim.tree.armature[6]) == 0.07  # TOML armature applied
+        import pytest
+
+        # TOML armature applied (float32 storage)
+        assert float(sim.tree.armature[6]) == pytest.approx(0.07)
         final, log = sim.simulate(0.05, q0=jnp.asarray(stand_q(sim.tree)))
         assert len(log) == 50
         assert bool(jnp.all(jnp.isfinite(final.q)))
