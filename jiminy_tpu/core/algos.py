@@ -101,10 +101,11 @@ def forward_kinematics(tree: KinematicTree, q: jax.Array) -> list[Transform]:
 
 
 def kinematics(
-    tree: KinematicTree, q: jax.Array, v: jax.Array
+    tree: KinematicTree, q: jax.Array, v: jax.Array, xl=None
 ) -> tuple[list[Transform], list[jax.Array]]:
-    """World poses and local-frame spatial velocities of every body."""
-    xl = _local_transforms(tree, q)
+    """World poses and local-frame spatial velocities of every body.
+    ``xl``: optionally reuse precomputed local transforms."""
+    xl = _local_transforms(tree, q) if xl is None else xl
     xw: list[Transform] = []
     vel: list[jax.Array] = []
     for i in range(tree.nb):
@@ -189,6 +190,7 @@ def rnea(
     v: jax.Array,
     a: jax.Array,
     fext: jax.Array | None = None,
+    xl=None,
 ) -> jax.Array:
     """Inverse dynamics with armature: tau = ID(q, v, a) - Jᵀ f_ext.
 
@@ -197,7 +199,7 @@ def rnea(
     Reference: jiminy's rnea overload adds motor armature
     (SURVEY.md §2.1 "Pinocchio overloads")."""
     dtype = q.dtype
-    xl = _local_transforms(tree, q)
+    xl = _local_transforms(tree, q) if xl is None else xl
     a0 = jnp.concatenate([jnp.zeros(3, dtype=dtype), -tree.gravity.astype(dtype)])
 
     vel: list[jax.Array] = [None] * tree.nb
@@ -236,10 +238,10 @@ def rnea(
     return tau + tree.armature * a
 
 
-def crba(tree: KinematicTree, q: jax.Array) -> jax.Array:
+def crba(tree: KinematicTree, q: jax.Array, xl=None) -> jax.Array:
     """Composite-rigid-body mass matrix with armature on the diagonal."""
     dtype = q.dtype
-    xl = _local_transforms(tree, q)
+    xl = _local_transforms(tree, q) if xl is None else xl
     Ic: list[SpatialInertia] = [tree.body_inertia(i) for i in range(tree.nb)]
     M = jnp.zeros((tree.nv, tree.nv), dtype=dtype)
 

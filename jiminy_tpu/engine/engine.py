@@ -299,7 +299,9 @@ class Engine:
         tree = self.tree
         dt = self.options.dt
         opts = self.options
-        xw, vel = algos.kinematics(tree, q, v)
+        # joint transforms computed once and shared by kinematics/CRBA/RNEA
+        xl = algos._local_transforms(tree, q)
+        xw, vel = algos.kinematics(tree, q, v, xl=xl)
 
         tau = self._joint_torque(u, q, v, t)
 
@@ -324,10 +326,10 @@ class Engine:
         # backward-Euler-in-(C,K) scheme, unconditionally stable for stiff
         # flexibility (the reference relies on its adaptive stepper there;
         # fixed-step SPMD needs this instead, SURVEY.md §7 hard-parts).
-        M = algos.crba(tree, q)
+        M = algos.crba(tree, q, xl=xl)
         M = M + jnp.diag(dt * tree.damping + dt * dt * tree.stiffness)
         L = linalg.cholesky(M)
-        bias = algos.rnea(tree, q, v, jnp.zeros_like(v), fext)
+        bias = algos.rnea(tree, q, v, jnp.zeros_like(v), fext, xl=xl)
         tau = tau - dt * tree.stiffness * v
         a_free = linalg.cho_solve(L, tau - bias)
         v_free = v + dt * a_free

@@ -13,6 +13,7 @@ targets at 50 Hz; optional random Perlin terrain and push disturbances.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from jiminy_tpu.envs.locomotion import WalkerEnv
 from jiminy_tpu.models.quadruped import make_anymal, stand_q
@@ -60,6 +61,7 @@ class ANYmalEnv(WalkerEnv):
             ground = stairs_ground(
                 step_width=0.4, step_height=0.08, n_steps=10, size=8.0
             )
+        self._build_mirror_spec = None  # lazy
         super().__init__(
             robot,
             stand_pose=jnp.asarray(stand_q(robot.tree)),
@@ -77,3 +79,36 @@ class ANYmalEnv(WalkerEnv):
             push_magnitude=push_magnitude,
             **kwargs,
         )
+
+    # ---- left-right mirror symmetry -------------------------------------
+    # reference fork: symmetry-augmented PPO surrogate for gaits
+    # (SURVEY.md §2.5). Reflection across the robot's xz-plane:
+    # linear (x,y,z) → (x,−y,z); angular (ωx,ωy,ωz) → (−ωx,ωy,−ωz);
+    # legs swap L↔R with the abduction (HAA) sign flipped.
+    def mirror_spec(self):
+        names = list(self.robot.motors.name)
+        act_perm = np.zeros(12, np.int32)
+        act_sign = np.ones(12, np.float32)
+        swap = {"LF": "RF", "RF": "LF", "LH": "RH", "RH": "LH"}
+        for i, n in enumerate(names):
+            leg, joint = n.split("_")
+            act_perm[i] = names.index(f"{swap[leg]}_{joint}")
+            if joint == "HAA":
+                act_sign[i] = -1.0
+        obs_perm = np.arange(33, dtype=np.int32)
+        obs_sign = np.ones(33, np.float32)
+        obs_sign[0:3] = [1, -1, 1]   # gravity direction
+        obs_sign[3:6] = [-1, 1, -1]  # base angular velocity
+        obs_sign[6:9] = [1, -1, 1]   # base linear velocity
+        obs_perm[9:21] = 9 + act_perm
+        obs_sign[9:21] = act_sign
+        obs_perm[21:33] = 21 + act_perm
+        obs_sign[21:33] = act_sign
+        return obs_perm, obs_sign, act_perm, act_sign
+
+    def symmetry_fn(self, obs, action):
+        """(obs, action) → mirrored pair, for PPOConfig.symmetry_coef."""
+        obs_perm, obs_sign, act_perm, act_sign = self.mirror_spec()
+        obs_m = obs[..., obs_perm] * obs_sign
+        act_m = None if action is None else action[..., act_perm] * act_sign
+        return obs_m, act_m

@@ -43,6 +43,10 @@ class PPOConfig:
     hidden: tuple = (256, 256)
     anneal_lr: bool = False
     total_iters: int = 1000  # only used for lr annealing
+    # reference rllib-tier extras (SURVEY.md §2.5: "L2 regularization and
+    # symmetry-augmented surrogate options upstream")
+    l2_reg: float = 0.0  # weight decay on network weights
+    symmetry_coef: float = 0.0  # weight of the mirror-symmetry loss
 
 
 def _gae(traj, gamma, lam):
@@ -71,11 +75,16 @@ def make_train_fn(
     env,
     cfg: PPOConfig,
     axis: str | None = None,
+    symmetry_fn: Callable | None = None,
 ) -> tuple[Callable, Callable, MLPPolicy]:
     """Build (init_fn, train_step) for one mesh shard.
 
     ``axis``: mesh axis name for gradient/metric pmean (None = single
     device; the caller wraps train_step in shard_map when distributed).
+    ``symmetry_fn(obs, action) → (obs_mirrored, action_mirrored)``: the
+    robot's mirror transform; with ``cfg.symmetry_coef > 0`` the loss adds
+    ‖π(mirror(obs)) − mirror(π(obs))‖² (the reference fork's
+    symmetry-augmented surrogate for locomotion gaits).
     init_fn(key, n_envs) → carry; train_step(carry) → (carry, metrics).
     carry = (params, opt_state, env_states, key).
     """
@@ -145,6 +154,22 @@ def make_train_fn(
         )
         ent = jnp.mean(policy.entropy(params, batch["obs"]))
         total = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * ent
+        if cfg.l2_reg > 0.0:
+            l2 = sum(
+                jnp.sum(jnp.square(W))
+                for net in ("actor", "critic")
+                for W, _b in params[net]
+            )
+            total = total + cfg.l2_reg * l2
+        if cfg.symmetry_coef > 0.0 and symmetry_fn is not None:
+            if discrete:
+                raise ValueError("symmetry loss requires continuous actions")
+            mean, _ = policy.action_dist(params, batch["obs"])
+            obs_m, act_m = symmetry_fn(batch["obs"], mean)
+            mean_m, _ = policy.action_dist(params, obs_m)
+            total = total + cfg.symmetry_coef * jnp.mean(
+                jnp.square(mean_m - act_m)
+            )
         return total, {
             "pg_loss": pg_loss,
             "v_loss": v_loss,

@@ -126,6 +126,8 @@ class Simulator:
         }
         if tree.ncp:
             named["contact_force"] = rec["contact_force"]
+        from jiminy_tpu.io.serialization import robot_to_json
+
         constants = {
             "robot_name": self.robot.name,
             "nq": tree.nq,
@@ -133,6 +135,9 @@ class Simulator:
             "joint_names": ",".join(tree.joint_name),
             "engine_options": str(dataclasses.asdict(eng.options)),
             "seed": self._seed,
+            # full robot serialization: a log alone reconstructs the exact
+            # setup (reference: build_robot_from_log, SURVEY.md §2.3)
+            "robot": robot_to_json(self.robot),
             **(log_constants or {}),
         }
         log = stack_log(np.asarray(rec["t"]), named, constants)
