@@ -34,9 +34,11 @@ from jiminy_tpu.math.spatial import (
 
 def _axis_angle_matrix(axis: jax.Array, angle: jax.Array) -> jax.Array:
     """Rodrigues rotation about a (constant unit) axis."""
+    from jiminy_tpu.math.spatial import mm3
+
     c, s = jnp.cos(angle), jnp.sin(angle)
     K = so3.hat(axis)
-    return jnp.eye(3, dtype=axis.dtype) + s * K + (1.0 - c) * (K @ K)
+    return jnp.eye(3, dtype=axis.dtype) + s * K + (1.0 - c) * mm3(K, K)
 
 
 def joint_transform(tree: KinematicTree, i: int, q: jax.Array) -> Transform:

@@ -20,6 +20,36 @@ from flax import struct
 from jiminy_tpu.math import so3
 
 
+def mm3(A: jax.Array, B: jax.Array) -> jax.Array:
+    """3×3 · 3×3 in explicit component form. Under ``vmap`` each product
+    becomes a wide elementwise VPU op; XLA's batched ``dot_general`` for
+    tiny matrices is ~6× slower on TPU (measured at batch 4096)."""
+    rows = [
+        jnp.stack(
+            [
+                A[i, 0] * B[0, j] + A[i, 1] * B[1, j] + A[i, 2] * B[2, j]
+                for j in range(3)
+            ]
+        )
+        for i in range(3)
+    ]
+    return jnp.stack(rows)
+
+
+def mm3_bt(A: jax.Array, B: jax.Array) -> jax.Array:
+    """A · Bᵀ for 3×3 matrices, component form (see :func:`mm3`)."""
+    rows = [
+        jnp.stack(
+            [
+                A[i, 0] * B[j, 0] + A[i, 1] * B[j, 1] + A[i, 2] * B[j, 2]
+                for j in range(3)
+            ]
+        )
+        for i in range(3)
+    ]
+    return jnp.stack(rows)
+
+
 class Transform(struct.PyTreeNode):
     """Pose of a frame C expressed in a frame A.
 
@@ -43,7 +73,7 @@ class Transform(struct.PyTreeNode):
         """self ∘ other: if self = pose of B in A and other = pose of C in B,
         the result is the pose of C in A."""
         return Transform(
-            rot=self.rot @ other.rot,
+            rot=mm3(self.rot, other.rot),
             pos=self.rot @ other.pos + self.pos,
         )
 
@@ -155,13 +185,13 @@ class SpatialInertia(struct.PyTreeNode):
         """
         R, p = x.rot, x.pos
         m = self.mass
-        h_a = R @ self.h + m * p
-        ph = so3.hat(p)
         rh = R @ self.h
+        h_a = rh + m * p
+        ph = so3.hat(p)
         i_a = (
-            R @ self.inertia @ R.T
-            + ph @ so3.hat(rh).T
-            + so3.hat(rh + m * p) @ ph.T
+            mm3_bt(mm3(R, self.inertia), R)
+            + mm3_bt(ph, so3.hat(rh))
+            + mm3_bt(so3.hat(rh + m * p), ph)
         )
         return SpatialInertia(mass=m, h=h_a, inertia=i_a)
 
