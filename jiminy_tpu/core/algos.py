@@ -27,6 +27,7 @@ from jiminy_tpu.math import so3
 from jiminy_tpu.math.spatial import (
     SpatialInertia,
     Transform,
+    mm_at_b,
     motion_cross,
     motion_cross_force,
 )

@@ -36,6 +36,19 @@ def mm3(A: jax.Array, B: jax.Array) -> jax.Array:
     return jnp.stack(rows)
 
 
+def mm_at_b(A: jax.Array, B: jax.Array) -> jax.Array:
+    """Aᵀ·B for small (k, m)/(k, n) matrices via outer-product accumulation
+    (elementwise under vmap — same rationale as :func:`mm3`)."""
+    k = A.shape[0]
+    return sum(A[i][:, None] * B[i][None, :] for i in range(k))
+
+
+def mm_outer(A: jax.Array, B: jax.Array) -> jax.Array:
+    """A·B for small matrices via Σₖ A[:,k]⊗B[k,:] outer products."""
+    k = A.shape[1]
+    return sum(A[:, i][:, None] * B[i][None, :] for i in range(k))
+
+
 def mm3_bt(A: jax.Array, B: jax.Array) -> jax.Array:
     """A · Bᵀ for 3×3 matrices, component form (see :func:`mm3`)."""
     rows = [
