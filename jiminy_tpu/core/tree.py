@@ -410,6 +410,50 @@ class TreeBuilder:
         self.jp[i + 1] = np.eye(4, dtype=np.float32)
         return i
 
+    def insert_backlash(
+        self,
+        joint_name: str,
+        play: float,
+        armature: float = 1e-4,
+        damping: float = 0.0,
+    ) -> int:
+        """Insert a passive BACKLASH joint upstream of the named joint: a
+        free-moving revolute joint about the same axis, limited to
+        ±play/2 (enforced by the bounds-as-constraints rows). Reference:
+        jiminy's backlash joints (SURVEY.md §2.1 "Model", upstream ≥1.8).
+        ``armature`` gives the otherwise massless DoF inertia for
+        stability. Returns the inserted body's index."""
+        i = self.joint_name.index(joint_name)
+        name = self.body_name[i] + "_backlash"
+
+        def bump(idx: int) -> int:
+            return idx + 1 if idx >= i else idx
+
+        self.parent = [bump(p) for p in self.parent]
+        self.frame_body = [bump(b) for b in self.frame_body]
+        self.contact_body = [bump(b) for b in self.contact_body]
+
+        half = float(play) / 2.0
+        self.parent.insert(i, self.parent[i])
+        self.joint_type.insert(i, JointType.REVOLUTE)
+        self.jp.insert(i, self.jp[i])
+        self.axis.insert(i, self.axis[i].copy())
+        self.mass.insert(i, 0.0)
+        self.com.insert(i, np.zeros(3, np.float32))
+        self.inertia_com.insert(i, np.zeros((3, 3), np.float32))
+        self.body_name.insert(i, name)
+        self.joint_name.insert(i, name + "_joint")
+        self.armature.insert(i, np.full(1, armature, np.float32))
+        self.damping.insert(i, np.full(1, damping, np.float32))
+        self.stiffness.insert(i, np.zeros(1, np.float32))
+        self.q_min.insert(i, np.full(1, -half, np.float32))
+        self.q_max.insert(i, np.full(1, half, np.float32))
+        self.v_max.insert(i, np.full(1, 1e6, np.float32))
+        self.u_max.insert(i, np.full(1, 1e6, np.float32))
+        self.parent[i + 1] = i
+        self.jp[i + 1] = np.eye(4, dtype=np.float32)
+        return i
+
     def fuse_fixed_body(
         self,
         name: str,

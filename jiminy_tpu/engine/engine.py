@@ -500,6 +500,82 @@ class Engine:
             f_contact = state.contact_forces
         return SimState(t=t, q=q, v=v, contact_forces=f_contact)
 
+    def simulate_adaptive(
+        self,
+        state: SimState,
+        t_end: float,
+        u: jax.Array | None = None,
+        ground=None,
+        dt_max: float | None = None,
+        tol_abs: float = 1e-8,
+        tol_rel: float = 1e-6,
+    ) -> tuple[SimState, dict]:
+        """Integrate to ``t_end`` with the adaptive DOPRI-5(4) stepper and
+        PI error controller — the reference's default high-accuracy path
+        (``stepper.odeSolver = runge_kutta_dopri``, tolAbs/tolRel/dtMax).
+        Single-trajectory (data-dependent step count; not vmappable);
+        requires the continuous-force path (no impulse constraints)."""
+        if self._use_impulse:
+            raise ValueError(
+                "adaptive stepping requires the spring-damper contact path"
+            )
+        ground = ground if ground is not None else self.ground
+        n_cmd = self.motors.nm if self.motors is not None else self.tree.nv
+        u = jnp.zeros(n_cmd) if u is None else u
+
+        def dyn(q, v, t):
+            a, _ = self.dynamics(q, v, t, u, ground)
+            return a
+
+        t, q, v, stats = steppers.integrate_adaptive(
+            self.tree,
+            dyn,
+            state.q,
+            state.v,
+            state.t,
+            t_end,
+            dt_init=self.options.dt,
+            dt_max=dt_max if dt_max is not None else self.options.dt * 20,
+            tol_abs=tol_abs,
+            tol_rel=tol_rel,
+        )
+        if self.tree.ncp > 0:
+            xw, vel = algos.kinematics(self.tree, q, v)
+            _, f_contact = compute_contact_fext(
+                self.tree, xw, vel, ground, self.options.contacts
+            )
+        else:
+            f_contact = state.contact_forces
+        return SimState(t=t, q=q, v=v, contact_forces=f_contact), stats
+
+    # -- options (reference: getOptions/setOptions dict trees) -------------
+    def get_options(self) -> dict:
+        """Nested option dict (reference: ``engine.getOptions()``)."""
+        return dataclasses.asdict(self.options)
+
+    def set_options(self, updates: dict) -> None:
+        """Update options from a (partial) dict and rebuild derived state
+        (reference: ``engine.setOptions()``)."""
+        opts = self.options
+        contacts = updates.pop("contacts", None)
+        opts = dataclasses.replace(opts, **updates)
+        if contacts is not None:
+            from jiminy_tpu.engine.contact import ContactParams
+
+            cur = dataclasses.asdict(opts)["contacts"]
+            cur.update(contacts)
+            opts = dataclasses.replace(
+                opts,
+                contacts=ContactParams(
+                    **{k: jnp.float32(val) for k, val in cur.items()}
+                ),
+            )
+        self.options = opts
+        self._stepper = steppers.STEPPERS[opts.solver]
+        self._use_impulse = (
+            bool(self.constraints) or opts.contact_model == "constraint"
+        )
+
     def simulate(
         self,
         state: SimState,

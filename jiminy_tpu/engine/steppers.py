@@ -112,6 +112,78 @@ def runge_kutta_dopri5(
     return q_next, v_next, err
 
 
+def integrate_adaptive(
+    tree: KinematicTree,
+    dyn: DynFn,
+    q: jax.Array,
+    v: jax.Array,
+    t0,
+    t_end,
+    dt_init: float = 1e-3,
+    dt_max: float = 0.02,
+    dt_min: float = 1e-7,
+    tol_abs: float = 1e-8,
+    tol_rel: float = 1e-6,
+    max_steps: int = 100_000,
+) -> tuple[jax.Array, jax.Array, jax.Array, dict]:
+    """Adaptive DOPRI-5(4) integration to ``t_end`` with the PI step-size
+    controller — the reference's default ``runge_kutta_dopri`` stepper
+    with ``tolAbs/tolRel/dtMax`` semantics (SURVEY.md §2.1 "Steppers").
+
+    Runs a ``lax.while_loop`` (data-dependent step count), so it serves
+    the single-robot accuracy path, not the vmapped SPMD product path
+    (SURVEY.md §7 hard-parts "Adaptive stepping is anti-TPU").
+    Returns (t, q, v, stats) with accept/reject counters — the reference
+    telemeters the same stepper statistics."""
+    # PI controller exponents for a 5(4) embedded pair (Hairer PI4.2:
+    # dt' = dt·S·ratio^-0.7/p·ratio_prev^0.4/p)
+    k_i, k_p = 0.7 / 5.0, 0.4 / 5.0
+    safety = 0.9
+
+    def scale(q, v, dq, dv):
+        m = jnp.maximum(
+            jnp.max(jnp.abs(v)), jnp.maximum(jnp.max(jnp.abs(dv)), 1.0)
+        )
+        return tol_abs + tol_rel * m
+
+    def cond(carry):
+        t, q, v, dt, err_prev, n_acc, n_rej, n = carry
+        return (t < t_end) & (n < max_steps)
+
+    def body(carry):
+        t, q, v, dt, err_prev, n_acc, n_rej, n = carry
+        dt = jnp.minimum(dt, t_end - t)
+        q2, v2, err = runge_kutta_dopri5(tree, dyn, q, v, t, dt)
+        tol = scale(q, v, q2, v2)
+        ratio = err / tol
+        accept = ratio <= 1.0
+        # PI controller: dt' = dt·S·ratio^-ki·(err_prev/tol)^kp
+        fac = safety * jnp.power(
+            jnp.maximum(ratio, 1e-10), -k_i
+        ) * jnp.power(jnp.maximum(err_prev, 1e-10), k_p)
+        fac = jnp.clip(fac, 0.2, 5.0)
+        dt_next = jnp.clip(dt * fac, dt_min, dt_max)
+        t = jnp.where(accept, t + dt, t)
+        q = jnp.where(accept, q2, q)
+        v = jnp.where(accept, v2, v)
+        err_prev = jnp.where(accept, jnp.maximum(ratio, 1e-10), err_prev)
+        return (
+            t, q, v, dt_next, err_prev,
+            n_acc + accept.astype(jnp.int32),
+            n_rej + (~accept).astype(jnp.int32),
+            n + 1,
+        )
+
+    t0 = jnp.asarray(t0, q.dtype)
+    t_end = jnp.asarray(t_end, q.dtype)
+    carry = (
+        t0, q, v, jnp.asarray(dt_init, q.dtype), jnp.asarray(1.0, q.dtype),
+        jnp.int32(0), jnp.int32(0), jnp.int32(0),
+    )
+    t, q, v, _dt, _e, n_acc, n_rej, n = jax.lax.while_loop(cond, body, carry)
+    return t, q, v, {"accepted": n_acc, "rejected": n_rej, "iters": n}
+
+
 STEPPERS = {
     "euler_symplectic": euler_semi_implicit,
     "euler_explicit": euler_semi_implicit,  # reference option name alias
