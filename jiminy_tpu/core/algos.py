@@ -371,10 +371,21 @@ def integrate(tree: KinematicTree, q: jax.Array, v: jax.Array, dt) -> jax.Array:
         for i in range(tree.nb)
         if tree.joint_type[i] in (JointType.REVOLUTE, JointType.PRISMATIC)
     ]
+
+    def contig(idx):
+        return idx and idx == list(range(idx[0], idx[0] + len(idx)))
+
     if one_q:
-        iq = jnp.asarray(one_q, jnp.int32)
-        iv = jnp.asarray(one_v, jnp.int32)
-        out = out.at[iq].add(v[iv] * dt)
+        # STATIC indexing only: index-array gathers are miscompiled by the
+        # current TPU backend (see engine/solver.py); contiguous slices
+        # cover the common case, per-joint static scatter otherwise
+        if contig(one_q) and contig(one_v):
+            a, b_ = one_q[0], one_q[0] + len(one_q)
+            c, d = one_v[0], one_v[0] + len(one_v)
+            out = out.at[a:b_].add(v[c:d] * dt)
+        else:
+            for qo, vo in zip(one_q, one_v):
+                out = out.at[qo].add(v[vo] * dt)
     for i in range(tree.nb):
         t = tree.joint_type[i]
         qo, vo = tree.q_off[i], tree.v_off[i]

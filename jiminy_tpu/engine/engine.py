@@ -346,36 +346,45 @@ class Engine:
         # (reference: bounds-as-constraints, SURVEY.md §2.1 "Model"; one row
         # per bounded joint, signed toward the nearest limit; far from the
         # limit the target is unreachable-negative so λ projects to 0)
-        bound_rows: list[int] = []
+        # NOTE: rows below are built with STATIC indexing only — gathers
+        # that share an index vector are miscompiled by the current TPU
+        # backend (see pgs_solve_grouped docstring).
+        bounds_span = None
         if self._bounds_mode() == "constraint" and opts.enable_bounds:
             alpha_b = cstr.baumgarte_alpha(
                 jnp.float32(opts.bounds_baumgarte_freq), dt
             )
             bj = self._bounded_joints()
             if bj:
-                qo = jnp.asarray([tree.q_off[i] for i in bj], jnp.int32)
-                vo = jnp.asarray([tree.v_off[i] for i in bj], jnp.int32)
-                lo, hi = tree.q_min[qo], tree.q_max[qo]
-                d_lo = q[qo] - lo  # distance to lower bound (push +)
-                d_hi = hi - q[qo]  # distance to upper bound (push −)
-                s = jnp.where(d_lo < d_hi, 1.0, -1.0).astype(q.dtype)
-                dist = jnp.minimum(d_lo, d_hi)  # < 0 when violating
-                Jb = jnp.zeros((len(bj), tree.nv), dtype=q.dtype)
-                Jb = Jb.at[jnp.arange(len(bj)), vo].set(s)
-                Js.append(Jb)
-                # violating: Baumgarte pushback; inside: may approach the
-                # bound but not cross it within this step
-                targets.append(
-                    jnp.where(dist < 0, -alpha_b * dist, -dist) / dt
-                )
+                rows, tgts = [], []
+                for i in bj:
+                    qo, vo = tree.q_off[i], tree.v_off[i]
+                    lo, hi = tree.q_min[qo], tree.q_max[qo]
+                    d_lo = q[qo] - lo  # distance to lower bound (push +)
+                    d_hi = hi - q[qo]  # distance to upper bound (push −)
+                    s = jnp.where(d_lo < d_hi, 1.0, -1.0).astype(q.dtype)
+                    dist = jnp.minimum(d_lo, d_hi)  # < 0 when violating
+                    rows.append(
+                        jnp.zeros(tree.nv, dtype=q.dtype).at[vo].set(s)
+                    )
+                    # violating: Baumgarte pushback; inside: may approach
+                    # the bound but not cross it within this step
+                    tgts.append(
+                        jnp.where(dist < 0, -alpha_b * dist, -dist) / dt
+                    )
+                Js.append(jnp.stack(rows))
+                targets.append(jnp.stack(tgts))
                 actives.append(jnp.ones(len(bj), dtype=bool))
                 mu_parts.append(jnp.zeros(len(bj), dtype=q.dtype))
-                bound_rows = list(range(off, off + len(bj)))
+                bounds_span = (off, len(bj))
                 off += len(bj)
 
         use_contact_blocks = opts.contact_model == "constraint" and tree.ncp > 0
         contact_off = off
-        contact_starts: list[int] = []
+        contact_colors: list[tuple] = []
+        # color-major layout: interleaved halves (diagonal leg pairs on
+        # quadrupeds), each color's rows contiguous for static slicing
+        color_order = list(range(0, tree.ncp, 2)) + list(range(1, tree.ncp, 2))
         if use_contact_blocks:
             pts, _ = contact_points_world(tree, xw, vel)
             h, n = ground.query(pts[:, :2])
@@ -389,7 +398,12 @@ class Engine:
                 0.0,
                 opts.contact_max_correction_vel,
             )
-            for k in range(tree.ncp):
+            n0 = len(range(0, tree.ncp, 2))
+            contact_colors = [
+                (contact_off, n0),
+                (contact_off + 3 * n0, tree.ncp - n0),
+            ]
+            for k in color_order:
                 b = tree.contact_body[k]
                 Jp = algos.point_jacobian(tree, xw, b, pts[k])
                 Jc = jnp.stack([t1[k] @ Jp, t2[k] @ Jp, n[k] @ Jp])
@@ -401,7 +415,6 @@ class Engine:
                 mu_parts.append(
                     jnp.full(3, opts.contacts.friction, dtype=q.dtype)
                 )
-                contact_starts.append(off)
                 off += 3
 
         nc = off
@@ -426,10 +439,8 @@ class Engine:
             mu,
             active,
             eq_blocks=blocks,
-            bounds_idx=(
-                jnp.asarray(bound_rows, jnp.int32) if bound_rows else None
-            ),
-            contact_colors=[contact_starts[0::2], contact_starts[1::2]],
+            bounds_span=bounds_span,
+            contact_colors=contact_colors,
             iters=opts.pgs_iters,
             relax=opts.pgs_relax,
         )
@@ -437,7 +448,12 @@ class Engine:
         q_next = algos.integrate(tree, q, v_next, dt)
 
         if use_contact_blocks:
-            lam_c = lam[contact_off:].reshape(tree.ncp, 3)
+            lam_perm = lam[contact_off:].reshape(tree.ncp, 3)
+            # un-permute from color-major back to contact order (static)
+            inv = [0] * tree.ncp
+            for j, k_orig in enumerate(color_order):
+                inv[k_orig] = j
+            lam_c = jnp.stack([lam_perm[inv[k]] for k in range(tree.ncp)])
             f_contact = (
                 t1 * lam_c[:, 0:1] + t2 * lam_c[:, 1:2] + n * lam_c[:, 2:3]
             ) / dt

@@ -103,8 +103,9 @@ def pgs_solve_grouped(
     mu: jax.Array,
     active: jax.Array,
     eq_blocks: Sequence[BlockSpec],
-    bounds_idx,  # (nb_rows,) int array or None — unilateral λ ≥ 0 rows
-    contact_colors: Sequence[Sequence[int]],  # per color: contact row starts
+    bounds_span: tuple | None,  # (start, size): contiguous λ ≥ 0 rows
+    contact_colors: Sequence[tuple],  # per color: (start, n_contacts),
+    # rows laid out contiguously as n_contacts × [t1, t2, n]
     iters: int = 16,
     relax: float = 1.0,
     lam0: jax.Array | None = None,
@@ -114,32 +115,21 @@ def pgs_solve_grouped(
     groups update sequentially (Gauss-Seidel between groups):
 
     - all joint-bound rows in one vectorized step per sweep,
-    - contacts in ``contact_colors`` (e.g. diagonal leg pairs) — within a
-      color the three rows (t1, t2, n) update as stacked vector ops.
+    - contacts per color (e.g. diagonal leg pairs) — within a color the
+      three rows (t1, t2, n) update as stacked vector ops.
 
     This cuts the sequential dependency chain ~4× (the TPU cost of PGS is
-    chain latency of tiny ops, not FLOPs)."""
+    chain latency of tiny ops, not FLOPs).
+
+    All row groups are addressed with STATIC slices — gather/scatter by
+    index array is miscompiled by the current TPU backend when several
+    gathers share one index vector (verified empirically: r/diag lowers
+    to x/x). Callers must lay bound rows and each color's contact rows
+    out contiguously."""
     nc = A.shape[0]
     lam = jnp.zeros(nc, dtype=A.dtype) if lam0 is None else lam0
     lam = jnp.where(active, lam, 0.0)
     diag = jnp.maximum(jnp.diagonal(A), 1e-8)
-
-    color_idx = [
-        (
-            jnp.asarray([s for s in color], dtype=jnp.int32),  # t1 rows
-            jnp.asarray([s + 1 for s in color], dtype=jnp.int32),
-            jnp.asarray([s + 2 for s in color], dtype=jnp.int32),
-        )
-        for color in contact_colors
-        if len(color)
-    ]
-
-    def row_update(lam, idx, lo=None):
-        r = b[idx] - A[idx] @ lam
-        li = lam[idx] + relax * r / diag[idx]
-        if lo is not None:
-            li = jnp.maximum(li, lo)
-        return jnp.where(active[idx], li, 0.0)
 
     def sweep(lam, _):
         for blk in eq_blocks:
@@ -147,19 +137,44 @@ def pgs_solve_grouped(
                 r = b[i] - A[i] @ lam
                 li = lam[i] + relax * r / diag[i]
                 lam = lam.at[i].set(jnp.where(active[i], li, 0.0))
-        if bounds_idx is not None:
-            lam = lam.at[bounds_idx].set(row_update(lam, bounds_idx, lo=0.0))
-        for i_t1, i_t2, i_n in color_idx:
-            lam = lam.at[i_n].set(row_update(lam, i_n, lo=0.0))
-            lam = lam.at[i_t1].set(row_update(lam, i_t1))
-            lam = lam.at[i_t2].set(row_update(lam, i_t2))
+        if bounds_span is not None:
+            s, k = bounds_span
+            r = b[s : s + k] - A[s : s + k] @ lam
+            li = lam[s : s + k] + relax * r / diag[s : s + k]
+            li = jnp.maximum(li, 0.0)
+            lam = lam.at[s : s + k].set(
+                jnp.where(active[s : s + k], li, 0.0)
+            )
+        for s, k in contact_colors:
+            if k == 0:
+                continue
+            e = s + 3 * k
+
+            def rows(x, j):  # static strided view: row j of each contact
+                return x[s:e].reshape(k, 3)[:, j]
+
+            def row_update(lam, j, lo=None):
+                r = rows(b, j) - A[s:e].reshape(k, 3, nc)[:, j] @ lam
+                li = rows(lam, j) + relax * r / rows(diag, j)
+                if lo is not None:
+                    li = jnp.maximum(li, lo)
+                return jnp.where(rows(active, j), li, 0.0)
+
+            def set_rows(lam, j, vals):
+                blk = lam[s:e].reshape(k, 3).at[:, j].set(vals)
+                return lam.at[s:e].set(blk.reshape(3 * k))
+
+            lam = set_rows(lam, 2, row_update(lam, 2, lo=0.0))  # normals
+            lam = set_rows(lam, 0, row_update(lam, 0))
+            lam = set_rows(lam, 1, row_update(lam, 1))
             # friction-cone projection, vectorized over the color
-            lt = jnp.stack([lam[i_t1], lam[i_t2]])  # (2, k)
-            tn = jnp.linalg.norm(lt, axis=0)
-            lim = mu[i_n] * lam[i_n]
+            blk = lam[s:e].reshape(k, 3)
+            tn = jnp.sqrt(blk[:, 0] ** 2 + blk[:, 1] ** 2 + 1e-24)
+            lim = rows(mu, 2) * blk[:, 2]
             scale = jnp.where(tn > lim, lim / jnp.maximum(tn, 1e-12), 1.0)
-            lam = lam.at[i_t1].set(lt[0] * scale)
-            lam = lam.at[i_t2].set(lt[1] * scale)
+            blk = blk.at[:, 0].set(blk[:, 0] * scale)
+            blk = blk.at[:, 1].set(blk[:, 1] * scale)
+            lam = lam.at[s:e].set(blk.reshape(3 * k))
         return lam, None
 
     lam, _ = jax.lax.scan(sweep, lam, None, length=iters)

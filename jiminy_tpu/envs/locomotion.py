@@ -106,8 +106,7 @@ class WalkerEnv(BaseEnv):
         dq = self.reset_noise * jax.random.uniform(
             k1, (nm,), minval=-1.0, maxval=1.0
         )
-        qi = jnp.asarray(self.robot.motors.q_idx, jnp.int32)
-        q = q.at[qi].add(dq)
+        q = self.robot.motors._scatter_add(q, self.robot.motors.q_idx, dq)
         if self.spawn_radius > 0:
             xy = self.spawn_radius * jax.random.uniform(
                 k3, (2,), minval=-1.0, maxval=1.0

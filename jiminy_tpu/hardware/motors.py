@@ -78,13 +78,32 @@ class Motors(struct.PyTreeNode):
             friction_vel_eps=arr(friction_vel_eps),
         )
 
+    def _is_contiguous(self, idx: tuple) -> bool:
+        return bool(idx) and list(idx) == list(
+            range(idx[0], idx[0] + len(idx))
+        )
+
+    def _gather(self, x: jax.Array, idx: tuple) -> jax.Array:
+        """Static-index gather: contiguous slice when possible, per-element
+        otherwise (index-array gathers are miscompiled by the current TPU
+        backend — see engine/solver.py)."""
+        if self._is_contiguous(idx):
+            return x[idx[0] : idx[0] + len(idx)]
+        return jnp.stack([x[i] for i in idx])
+
+    def _scatter_add(self, x: jax.Array, idx: tuple, vals) -> jax.Array:
+        if self._is_contiguous(idx):
+            return x.at[idx[0] : idx[0] + len(idx)].add(vals)
+        for k, i in enumerate(idx):
+            x = x.at[i].add(vals[k])
+        return x
+
     def compute_effort(self, command: jax.Array, v: jax.Array) -> jax.Array:
         """(nm,) motor command + (nv,) joint velocities → (nv,) joint torque.
 
         Pure; called inside the engine substep (reference call stack
         SURVEY.md §3.1: "motor model: command → joint efforts")."""
-        idx = jnp.asarray(self.v_idx, dtype=jnp.int32)
-        v_j = v[idx]
+        v_j = self._gather(v, self.v_idx)
         u = jnp.clip(command, -self.effort_limit, self.effort_limit)
         tau_m = self.reduction * u
         # velocity limit: derate torque that pushes past the limit
@@ -100,8 +119,7 @@ class Motors(struct.PyTreeNode):
         fric = self.friction_dry * jnp.tanh(
             v_j / self.friction_vel_eps
         ) + self.friction_viscous * v_j
-        tau = jnp.zeros_like(v).at[idx].add(tau_m - fric)
-        return tau
+        return self._scatter_add(jnp.zeros_like(v), self.v_idx, tau_m - fric)
 
     def command_from_joint(self, tau_joint: jax.Array) -> jax.Array:
         """Inverse map for controllers that think joint-side: (nm,) joint
@@ -112,7 +130,4 @@ class Motors(struct.PyTreeNode):
         """Motor-ordered joint positions and velocities (nm,), (nm,) — the
         state a PD controller closes on (reference: EncoderSensor data used
         by the PDController block, SURVEY.md §2.4 "Blocks")."""
-        return (
-            q[jnp.asarray(self.q_idx, dtype=jnp.int32)],
-            v[jnp.asarray(self.v_idx, dtype=jnp.int32)],
-        )
+        return self._gather(q, self.q_idx), self._gather(v, self.v_idx)
