@@ -53,7 +53,7 @@ def main():
         env, cfg, symmetry_fn=env.symmetry_fn
     )
     carry = init_fn(jax.random.PRNGKey(args.seed), cfg.num_envs)
-    step = jax.jit(train_step, donate_argnums=0)
+    step = jax.jit(train_step)
     mgr = CheckpointManager(out / "ckpt", max_to_keep=2)
 
     steps_per_iter = cfg.num_envs * cfg.rollout_len

@@ -173,6 +173,33 @@ class QuantityContext:
             ),
         )
 
+    def support_polygon_margin(
+        self, point: jax.Array | None = None, n_directions: int = 16
+    ) -> jax.Array:
+        """Signed distance from ``point`` (default: ZMP) to the support
+        polygon of LOADED contact points — positive inside (stable).
+
+        Reference: gym_jiminy toolbox's convex-hull support polygon.
+        Convex hulls don't jit (data-dependent vertex counts), so this
+        uses the support-function formulation: margin =
+        min_θ [ max_k (c_k − p)·u(θ) ] over ``n_directions`` directions —
+        exact as n_directions → ∞, vectorized and vmappable."""
+
+        def f():
+            p = self.zmp if point is None else point
+            pts = self.contact_points[:, :2]
+            loaded = self.sim.contact_forces[:, 2] > 1e-3
+            th = jnp.linspace(
+                0.0, 2.0 * jnp.pi, n_directions, endpoint=False
+            )
+            U = jnp.stack([jnp.cos(th), jnp.sin(th)], axis=1)  # (D, 2)
+            proj = (pts - p) @ U.T  # (ncp, D)
+            proj = jnp.where(loaded[:, None], proj, -jnp.inf)
+            return jnp.min(jnp.max(proj, axis=0))
+
+        key = "spm" if point is None else None
+        return self._memo(key, f) if key else f()
+
 
 def _contact_points(tree, xw):
     ps = []
