@@ -94,7 +94,9 @@ def make_train_fn(
     policy = MLPPolicy(obs_size, act_size, discrete=discrete, hidden=cfg.hidden)
 
     if cfg.anneal_lr:
-        schedule = optax.linear_schedule(cfg.lr, 0.0, cfg.total_iters)
+        # optax counts one step per MINIBATCH update, not per iteration
+        total_updates = cfg.total_iters * cfg.epochs * cfg.minibatches
+        schedule = optax.linear_schedule(cfg.lr, 0.0, total_updates)
     else:
         schedule = cfg.lr
     tx = optax.chain(
@@ -200,14 +202,42 @@ def make_train_fn(
             "ret": ret.reshape(n),
         }
 
+        # minibatch shuffle: all fields are packed into ONE matrix and
+        # permuted with a SINGLE gather, then split by static slices —
+        # several gathers sharing one index vector are miscompiled by the
+        # current TPU backend (see engine/solver.py), which silently froze
+        # training (zero gradients) when each field was gathered separately
+        field_names = sorted(flat)
+        widths = [
+            flat[name].shape[1] if flat[name].ndim == 2 else 1
+            for name in field_names
+        ]
+        packed = jnp.concatenate(
+            [
+                (
+                    flat[name] if flat[name].ndim == 2 else flat[name][:, None]
+                ).astype(jnp.float32)
+                for name in field_names
+            ],
+            axis=1,
+        )
+
+        def unpack(mat):
+            out, c = {}, 0
+            for name, w in zip(field_names, widths):
+                col = mat[..., c : c + w].astype(flat[name].dtype)
+                out[name] = col if flat[name].ndim == 2 else col[..., 0]
+                c += w
+            return out
+
         def epoch(carry, k):
             params, opt_state = carry
             perm = jax.random.permutation(k, n)
-            mb = jax.tree.map(
-                lambda x: x[perm].reshape(
-                    (cfg.minibatches, n // cfg.minibatches) + x.shape[1:]
-                ),
-                flat,
+            shuffled = packed[perm]
+            mb = unpack(
+                shuffled.reshape(
+                    cfg.minibatches, n // cfg.minibatches, shuffled.shape[1]
+                )
             )
 
             def mb_update(carry, batch):
