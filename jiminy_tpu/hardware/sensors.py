@@ -264,15 +264,36 @@ class SensorSuite:
     def read(self, bufs: tuple) -> dict[str, jax.Array]:
         """Delayed measurements: linear interpolation in the ring buffer at
         each sensor's ``delay`` (reference: jitter-free interpolated delay,
-        SURVEY.md §2.1 "Sensors"). Returns {type: (ns, dim)}."""
+        SURVEY.md §2.1 "Sensors"). Returns {type: (ns, dim)}.
+
+        Indices resolve STATICALLY when delays are concrete (the common
+        case) — index-array gathers are miscompiled by the current TPU
+        backend (see engine/solver.py)."""
+        import numpy as np
+
         out = {}
         for g, buf in zip(self.groups, bufs):
-            steps = g.delay / self.period
-            i0 = jnp.clip(jnp.floor(steps).astype(jnp.int32), 0, g.buf_len - 2)
-            frac = (steps - i0)[:, None]
-            idx = jnp.arange(g.ns)
-            m0 = buf[idx, i0]  # (ns, dim)
-            m1 = buf[idx, i0 + 1]
+            try:  # static path: delays are concrete at trace time
+                steps_np = np.asarray(g.delay) / self.period
+                i0_np = np.clip(
+                    np.floor(steps_np).astype(np.int32), 0, g.buf_len - 2
+                )
+                frac = jnp.asarray(
+                    (steps_np - i0_np)[:, None].astype(np.float32)
+                )
+                m0 = jnp.stack([buf[s, int(i0_np[s])] for s in range(g.ns)])
+                m1 = jnp.stack(
+                    [buf[s, int(i0_np[s]) + 1] for s in range(g.ns)]
+                )
+            except (jax.errors.TracerArrayConversionError, TypeError):
+                steps = g.delay / self.period
+                i0 = jnp.clip(
+                    jnp.floor(steps).astype(jnp.int32), 0, g.buf_len - 2
+                )
+                frac = (steps - i0)[:, None]
+                idx = jnp.arange(g.ns)
+                m0 = buf[idx, i0]  # (ns, dim)
+                m1 = buf[idx, i0 + 1]
             m = (1.0 - frac) * m0 + frac * m1
             if g.type == "imu":
                 # renormalize the nlerp'd quaternion block
