@@ -1,0 +1,104 @@
+"""Policy evaluation & replay — the reference's evaluate/play loops.
+
+Reference: ``BaseJiminyEnv`` ships interactive ``play_interactive`` and
+``evaluate`` helpers (SURVEY.md §2.4 "Env base"). Here:
+
+- :func:`evaluate`: batched greedy (or stochastic) rollouts on device;
+  returns episode statistics computed without host round-trips.
+- :func:`play`: single-env rollout that records a trajectory and writes
+  the self-contained HTML replay (the headless "interactive" path).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def evaluate(
+    env,
+    policy_fn: Callable[[jax.Array], jax.Array],  # obs (B, d) → action
+    n_envs: int = 256,
+    n_steps: int = 500,
+    key=None,
+) -> dict:
+    """Greedy batched evaluation. Returns episode statistics:
+    return/length means over COMPLETED first episodes, fall fraction,
+    mean forward displacement."""
+    key = key if key is not None else jax.random.PRNGKey(0)
+    states = jax.jit(jax.vmap(env.reset))(jax.random.split(key, n_envs))
+    x0 = states.sim.q[:, 0] if states.sim.q.shape[-1] >= 7 else None
+
+    @jax.jit
+    def roll(states):
+        def body(carry, _):
+            states, ret, length, alive, fell = carry
+            a = policy_fn(states.obs)
+            states = jax.vmap(env.step_no_reset)(states, a)
+            ret = ret + jnp.where(alive, states.reward, 0.0)
+            length = length + alive.astype(jnp.int32)
+            fell = fell | (alive & states.terminated)
+            alive = alive & ~states.done
+            return (states, ret, length, alive, fell), None
+
+        B = states.reward.shape[0]
+        init = (
+            states,
+            jnp.zeros(B),
+            jnp.zeros(B, jnp.int32),
+            jnp.ones(B, bool),
+            jnp.zeros(B, bool),
+        )
+        (states, ret, length, alive, fell), _ = jax.lax.scan(
+            body, init, None, length=n_steps
+        )
+        return states, ret, length, alive, fell
+
+    states, ret, length, alive, fell = roll(states)
+    out = {
+        "return_mean": float(jnp.mean(ret)),
+        "length_mean": float(jnp.mean(length.astype(jnp.float32))),
+        "fall_fraction": float(jnp.mean(fell.astype(jnp.float32))),
+        "alive_at_end": float(jnp.mean(alive.astype(jnp.float32))),
+    }
+    if x0 is not None:
+        out["forward_displacement_mean"] = float(
+            jnp.mean(states.sim.q[:, 0] - x0)
+        )
+    return out
+
+
+def play(
+    env,
+    policy_fn: Callable[[jax.Array], jax.Array] | None = None,
+    n_steps: int = 250,
+    key=None,
+    replay_path=None,
+    frame_stride: int = 2,
+):
+    """Single-env rollout; returns (states list's qs, rewards). With
+    ``replay_path``, writes the HTML replay of the run."""
+    key = key if key is not None else jax.random.PRNGKey(0)
+    st = jax.jit(env.reset)(key)
+    step = jax.jit(env.step_no_reset)
+    qs, rewards = [np.asarray(st.sim.q)], []
+    for t in range(n_steps):
+        if policy_fn is None:
+            a = jnp.zeros(env.action_size)
+        else:
+            a = policy_fn(st.obs)
+        st = step(st, a)
+        rewards.append(float(st.reward))
+        if t % frame_stride == 0:
+            qs.append(np.asarray(st.sim.q))
+        if bool(st.done):
+            break
+    qs = np.stack(qs)
+    if replay_path is not None:
+        from jiminy_tpu.viewer import replay_html
+
+        replay_html(env.tree, qs, replay_path)
+    return qs, np.asarray(rewards)
