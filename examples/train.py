@@ -1,0 +1,126 @@
+"""Train any bundled locomotion env with PPO on the local device.
+
+Usage: python examples/train.py --env cassie --iters 6000 --out /tmp/run
+Envs: anymal (with mirror-symmetry surrogate), cassie, ant, spotmicro,
+atlas, cartpole, acrobot.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import jax
+import numpy as np
+
+
+def make_env(name: str, max_steps: int):
+    import jiminy_tpu.envs as E
+
+    if name == "anymal":
+        return E.ANYmalEnv(max_steps=max_steps)
+    if name == "cassie":
+        return E.CassieEnv(sim_dt=2e-3, max_steps=max_steps, target_speed=0.4)
+    if name == "ant":
+        return E.AntEnv(max_steps=max_steps)
+    if name == "spotmicro":
+        return E.SpotmicroEnv(max_steps=max_steps)
+    if name == "atlas":
+        return E.AtlasEnv(max_steps=max_steps, target_speed=0.3)
+    if name == "cartpole":
+        return E.CartPoleEnv()
+    if name == "acrobot":
+        return E.AcrobotEnv()
+    raise ValueError(name)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--env", default="anymal")
+    ap.add_argument("--iters", type=int, default=4000)
+    ap.add_argument("--num-envs", type=int, default=2048)
+    ap.add_argument("--max-steps", type=int, default=500)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--ent-coef", type=float, default=0.005)
+    args = ap.parse_args()
+    out = pathlib.Path(args.out or f"/tmp/{args.env}_run")
+    out.mkdir(parents=True, exist_ok=True)
+
+    from jiminy_tpu.checkpoint import CheckpointManager
+    from jiminy_tpu.rl import PPOConfig
+    from jiminy_tpu.rl.ppo import make_train_fn
+
+    env = make_env(args.env, args.max_steps)
+    cfg = PPOConfig(
+        num_envs=args.num_envs,
+        rollout_len=32,
+        minibatches=8,
+        epochs=4,
+        hidden=(256, 256),
+        lr=3e-4,
+        ent_coef=args.ent_coef,
+        symmetry_coef=0.1 if hasattr(env, "symmetry_fn") else 0.0,
+        anneal_lr=True,
+        total_iters=args.iters,
+    )
+    init_fn, train_step, policy = make_train_fn(
+        env, cfg, symmetry_fn=getattr(env, "symmetry_fn", None)
+    )
+    carry = init_fn(jax.random.PRNGKey(args.seed), cfg.num_envs)
+    step = jax.jit(train_step)
+    mgr = CheckpointManager(out / "ckpt", max_to_keep=2)
+
+    steps_per_iter = cfg.num_envs * cfg.rollout_len
+    t0 = time.perf_counter()
+    with open(out / "metrics.jsonl", "w") as f:
+        for i in range(args.iters):
+            carry, metrics = step(carry)
+            if i % 10 == 0 or i == args.iters - 1:
+                m = {k: float(v) for k, v in metrics.items()}
+                m.update(
+                    iter=i,
+                    env_steps=(i + 1) * steps_per_iter,
+                    wall_s=time.perf_counter() - t0,
+                )
+                f.write(json.dumps(m) + "\n")
+                f.flush()
+                if i % 100 == 0:
+                    print(
+                        f"iter {i:5d} reward {m['reward_mean']:7.3f} "
+                        f"done% {100 * m['episode_done_frac']:5.2f} "
+                        f"kl {m['approx_kl']:.4f} "
+                        f"{m['env_steps'] / m['wall_s']:,.0f} steps/s",
+                        flush=True,
+                    )
+            if i and i % 1000 == 0:
+                mgr.save(i, carry)
+    mgr.save(args.iters, carry)
+    mgr.close()
+
+    from jiminy_tpu.rl.evaluate import evaluate
+
+    params = carry[0]
+    stats = evaluate(
+        env,
+        lambda obs: policy.action_dist(params, obs)[0]
+        if env.discrete_actions is None
+        else jax.numpy.argmax(policy.action_dist(params, obs), -1),
+        n_envs=256,
+        n_steps=args.max_steps - 1,
+        key=jax.random.PRNGKey(123),
+    )
+    (out / "eval.json").write_text(json.dumps(stats, indent=1))
+    print("eval:", stats)
+    total = args.iters * steps_per_iter
+    dt = time.perf_counter() - t0
+    print(f"done: {total:,} env-steps in {dt:,.0f}s ({total / dt:,.0f}/s)")
+
+
+if __name__ == "__main__":
+    main()

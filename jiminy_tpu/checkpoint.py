@@ -25,7 +25,10 @@ def _strip_empty(state):
 
     def f(x):
         if hasattr(x, "size") and x.size == 0:
-            return jnp.zeros((), jnp.float32)
+            # a plain numpy scalar serializes in both single- and
+            # multi-host settings (a fresh jax scalar would be host-local
+            # and rejected by orbax under jax.distributed)
+            return np.zeros((), np.float32)
         return x
 
     return jax.tree.map(f, state)
