@@ -47,6 +47,10 @@ class SimState(struct.PyTreeNode):
     q: jax.Array  # (nq,)
     v: jax.Array  # (nv,)
     contact_forces: jax.Array  # (ncp, 3) world frame, last substep
+    # max PGS residual of the last substep — the reference telemeters
+    # stepper/solver health; fixed-iteration PGS monitors convergence
+    # this way (SURVEY.md §7 hard-parts)
+    solver_residual: jax.Array = None  # ()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -148,6 +152,7 @@ class Engine:
             q=tree.neutral_q() if q is None else q,
             v=jnp.zeros(tree.nv) if v is None else v,
             contact_forces=jnp.zeros((tree.ncp, 3)),
+            solver_residual=jnp.float32(0.0),
         )
 
     # -- dynamics ----------------------------------------------------------
@@ -480,19 +485,27 @@ class Engine:
         if self._use_impulse:
 
             def body_imp(carry, _):
-                q, v, t, _ = carry
-                q, v, f_c, _res = self._impulse_substep(
+                q, v, t, _, _ = carry
+                q, v, f_c, res = self._impulse_substep(
                     q, v, t, u, ground, fext_user
                 )
-                return (q, v, t + dt, f_c), None
+                return (q, v, t + dt, f_c, res), None
 
-            (q, v, t, f_contact), _ = jax.lax.scan(
+            (q, v, t, f_contact, res), _ = jax.lax.scan(
                 body_imp,
-                (state.q, state.v, state.t, state.contact_forces),
+                (
+                    state.q,
+                    state.v,
+                    state.t,
+                    state.contact_forces,
+                    state.solver_residual,
+                ),
                 None,
                 length=n_substeps,
             )
-            return SimState(t=t, q=q, v=v, contact_forces=f_contact)
+            return SimState(
+                t=t, q=q, v=v, contact_forces=f_contact, solver_residual=res
+            )
 
         def dyn(q, v, t):
             a, _ = self.dynamics(q, v, t, u, ground, fext_user)
@@ -514,7 +527,10 @@ class Engine:
             )
         else:
             f_contact = state.contact_forces
-        return SimState(t=t, q=q, v=v, contact_forces=f_contact)
+        return SimState(
+            t=t, q=q, v=v, contact_forces=f_contact,
+            solver_residual=jnp.float32(0.0),
+        )
 
     def simulate_adaptive(
         self,
@@ -562,7 +578,10 @@ class Engine:
             )
         else:
             f_contact = state.contact_forces
-        return SimState(t=t, q=q, v=v, contact_forces=f_contact), stats
+        return SimState(
+            t=t, q=q, v=v, contact_forces=f_contact,
+            solver_residual=jnp.float32(0.0),
+        ), stats
 
     # -- options (reference: getOptions/setOptions dict trees) -------------
     def get_options(self) -> dict:

@@ -97,6 +97,45 @@ def pgs_solve(
     return lam, residual
 
 
+def kkt_residual(
+    A, b, lam, active, bounds_span, contact_colors
+) -> jax.Array:
+    """Max complementarity violation: equality rows contribute |r|;
+    unilateral rows (bounds, contact normals) contribute |r| only while
+    pushing (λ>0), else only the pushing-needed part max(r, 0); tangent
+    rows at the friction-cone boundary are sliding — their residual is
+    expected and not counted."""
+    r = b - A @ lam
+    viol = jnp.where(active, jnp.abs(r), 0.0)
+
+    def unilateral(viol, s, e):
+        u = jnp.where(lam[s:e] > 1e-6, jnp.abs(r[s:e]), jnp.maximum(r[s:e], 0.0))
+        return viol.at[s:e].set(jnp.where(active[s:e], u, 0.0))
+
+    if bounds_span is not None:
+        s, k = bounds_span
+        viol = unilateral(viol, s, s + k)
+    for s, k in contact_colors:
+        if k == 0:
+            continue
+        e = s + 3 * k
+        blk_l = lam[s:e].reshape(k, 3)
+        blk_r = r[s:e].reshape(k, 3)
+        blk_a = active[s:e].reshape(k, 3)
+        n_viol = jnp.where(
+            blk_l[:, 2] > 1e-6, jnp.abs(blk_r[:, 2]),
+            jnp.maximum(blk_r[:, 2], 0.0),
+        )
+        tn = jnp.sqrt(blk_l[:, 0] ** 2 + blk_l[:, 1] ** 2 + 1e-24)
+        sliding = tn >= 0.999 * jnp.maximum(blk_l[:, 2], 1e-9)
+        t_viol = jnp.where(sliding[:, None], 0.0, jnp.abs(blk_r[:, :2]))
+        blk_v = jnp.concatenate([t_viol, n_viol[:, None]], axis=1)
+        viol = viol.at[s:e].set(
+            jnp.where(blk_a, blk_v, 0.0).reshape(3 * k)
+        )
+    return jnp.max(viol, initial=0.0)
+
+
 def pgs_solve_grouped(
     A: jax.Array,
     b: jax.Array,
@@ -178,7 +217,5 @@ def pgs_solve_grouped(
         return lam, None
 
     lam, _ = jax.lax.scan(sweep, lam, None, length=iters)
-    residual = jnp.max(
-        jnp.where(active, jnp.abs(b - A @ lam), 0.0), initial=0.0
-    )
+    residual = kkt_residual(A, b, lam, active, bounds_span, contact_colors)
     return lam, residual

@@ -79,11 +79,14 @@ class Simulator:
         controller: Optional[Callable] = None,
         control_dt: float | None = None,
         log_constants: dict | None = None,
+        record_sensors: bool = False,
+        seed: int | None = None,
     ) -> tuple[SimState, TelemetryLog]:
         """Run [0, t_end] under ``controller(q, v, t) → command`` sampled at
         ``control_dt`` (default: every engine step). Returns the final
-        state and the telemetry log (time, q, v, energy, contact forces —
-        the reference's standard channels)."""
+        state and the telemetry log (time, q, v, energy, contact forces,
+        and — with ``record_sensors`` — every sensor measurement channel,
+        as the reference logs sensor data)."""
         tree = self.tree
         eng = self.engine
         q0 = tree.neutral_q() if q0 is None else jnp.asarray(q0)
@@ -92,8 +95,12 @@ class Simulator:
         n_sub = max(1, round(control_dt / eng.options.dt))
         n_ctrl = max(1, round(t_end / (n_sub * eng.options.dt)))
         n_cmd = self.robot.nmotors or tree.nv
+        suite = self.robot.sensors if record_sensors else None
+        if record_sensors and suite is None:
+            raise ValueError("record_sensors=True but the robot has none")
 
-        def outer(st, _):
+        def outer(carry, _):
+            st, bufs, key = carry
             u = (
                 controller(st.q, st.v, st.t)
                 if controller is not None
@@ -108,14 +115,29 @@ class Simulator:
                 "energy_kinetic": ke,
                 "energy_potential": pe,
                 "contact_force": st.contact_forces,
+                "solver_residual": st.solver_residual,
             }
-            return st, rec
+            if suite is not None:
+                key, k = jax.random.split(key)
+                zeros = jnp.zeros(tree.nv)
+                bufs = suite.update(
+                    bufs, k, st.q, st.v, zeros, st.contact_forces, zeros
+                )
+                for typ, m in suite.read(bufs).items():
+                    rec[f"sensor_{typ}"] = m
+            return (st, bufs, key), rec
+
+        key0 = jax.random.PRNGKey(self._seed if seed is None else seed)
+        st0 = eng.reset(q=q0, v=v0)
+        bufs0 = (
+            suite.reset(key0, q0, v0) if suite is not None else ()
+        )
 
         @jax.jit
-        def run(st):
-            return jax.lax.scan(outer, st, None, length=n_ctrl)
+        def run(st, bufs, key):
+            return jax.lax.scan(outer, (st, bufs, key), None, length=n_ctrl)
 
-        final, rec = run(eng.reset(q=q0, v=v0))
+        (final, _, _), rec = run(st0, bufs0, key0)
         jax.block_until_ready(final)
 
         named = {
@@ -123,9 +145,14 @@ class Simulator:
             "v": rec["v"],
             "energy_kinetic": rec["energy_kinetic"],
             "energy_potential": rec["energy_potential"],
+            "solver_residual": rec["solver_residual"],
         }
         if tree.ncp:
             named["contact_force"] = rec["contact_force"]
+        if suite is not None:
+            for k in rec:
+                if k.startswith("sensor_"):
+                    named[k] = rec[k]
         from jiminy_tpu.io.serialization import robot_to_json
 
         constants = {
