@@ -51,6 +51,10 @@ class SimState(struct.PyTreeNode):
     # stepper/solver health; fixed-iteration PGS monitors convergence
     # this way (SURVEY.md §7 hard-parts)
     solver_residual: jax.Array = None  # ()
+    # constraint impulses of the last substep (warm start for the next —
+    # contacts/bounds change slowly between substeps, so warm-started PGS
+    # converges in fewer sweeps)
+    lam: jax.Array = None  # (nc,)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -142,6 +146,19 @@ class Engine:
                 "stepper (velocity-level impulses)"
             )
 
+    @property
+    def n_constraint_rows(self) -> int:
+        """Static size of the stacked PGS system (kinematic + bounds +
+        contacts); 0 on the pure spring-damper path."""
+        if not self._use_impulse:
+            return 0
+        n = sum(c.size for c in self.constraints)
+        if self._bounds_mode() == "constraint" and self.options.enable_bounds:
+            n += len(self._bounded_joints())
+        if self.options.contact_model == "constraint":
+            n += 3 * self.tree.ncp
+        return n
+
     # -- state management ------------------------------------------------
     def reset(
         self, q: jax.Array | None = None, v: jax.Array | None = None
@@ -153,6 +170,7 @@ class Engine:
             v=jnp.zeros(tree.nv) if v is None else v,
             contact_forces=jnp.zeros((tree.ncp, 3)),
             solver_residual=jnp.float32(0.0),
+            lam=jnp.zeros(self.n_constraint_rows),
         )
 
     # -- dynamics ----------------------------------------------------------
@@ -292,7 +310,8 @@ class Engine:
         u: jax.Array,
         ground,
         fext_user: jax.Array | None,
-    ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+        lam0: jax.Array | None = None,
+    ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
         """One semi-implicit Euler substep with velocity-level PGS impulses
         for kinematic constraints and (if contact_model == "constraint")
         ground contacts. Returns (q', v', contact_forces_world, residual).
@@ -425,7 +444,10 @@ class Engine:
         nc = off
         if nc == 0:
             q_next = algos.integrate(tree, q, v_free, dt)
-            return q_next, v_free, f_contact_sd, jnp.zeros((), q.dtype)
+            return (
+                q_next, v_free, f_contact_sd, jnp.zeros((), q.dtype),
+                jnp.zeros(0, q.dtype),
+            )
 
         J = jnp.concatenate(Js, axis=0)
         target = jnp.concatenate(targets, axis=0)
@@ -448,6 +470,7 @@ class Engine:
             contact_colors=contact_colors,
             iters=opts.pgs_iters,
             relax=opts.pgs_relax,
+            lam0=lam0,
         )
         v_next = v_free + MinvJT @ lam
         q_next = algos.integrate(tree, q, v_next, dt)
@@ -464,7 +487,7 @@ class Engine:
             ) / dt
         else:
             f_contact = f_contact_sd
-        return q_next, v_next, f_contact, residual
+        return q_next, v_next, f_contact, residual, lam
 
     # -- stepping ----------------------------------------------------------
     def step(
@@ -485,13 +508,13 @@ class Engine:
         if self._use_impulse:
 
             def body_imp(carry, _):
-                q, v, t, _, _ = carry
-                q, v, f_c, res = self._impulse_substep(
-                    q, v, t, u, ground, fext_user
+                q, v, t, _, _, lam = carry
+                q, v, f_c, res, lam = self._impulse_substep(
+                    q, v, t, u, ground, fext_user, lam0=lam
                 )
-                return (q, v, t + dt, f_c, res), None
+                return (q, v, t + dt, f_c, res, lam), None
 
-            (q, v, t, f_contact, res), _ = jax.lax.scan(
+            (q, v, t, f_contact, res, lam), _ = jax.lax.scan(
                 body_imp,
                 (
                     state.q,
@@ -499,12 +522,14 @@ class Engine:
                     state.t,
                     state.contact_forces,
                     state.solver_residual,
+                    state.lam,
                 ),
                 None,
                 length=n_substeps,
             )
             return SimState(
-                t=t, q=q, v=v, contact_forces=f_contact, solver_residual=res
+                t=t, q=q, v=v, contact_forces=f_contact,
+                solver_residual=res, lam=lam,
             )
 
         def dyn(q, v, t):
@@ -529,7 +554,7 @@ class Engine:
             f_contact = state.contact_forces
         return SimState(
             t=t, q=q, v=v, contact_forces=f_contact,
-            solver_residual=jnp.float32(0.0),
+            solver_residual=jnp.float32(0.0), lam=state.lam,
         )
 
     def simulate_adaptive(
@@ -580,7 +605,7 @@ class Engine:
             f_contact = state.contact_forces
         return SimState(
             t=t, q=q, v=v, contact_forces=f_contact,
-            solver_residual=jnp.float32(0.0),
+            solver_residual=jnp.float32(0.0), lam=state.lam,
         ), stats
 
     # -- options (reference: getOptions/setOptions dict trees) -------------
