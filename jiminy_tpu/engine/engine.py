@@ -277,14 +277,19 @@ class Engine:
         u: jax.Array,
         ground,
         fext_user: jax.Array | None = None,
+        contact_params=None,
     ) -> tuple[jax.Array, jax.Array]:
         """Full system dynamics: (q, v, t, command u) → (a, contact
         forces). This is the reference's ``computeSystemsDynamics`` body
         (SURVEY.md §3.1 hot loop)."""
         tree = self.tree
+        cparams = (
+            contact_params if contact_params is not None
+            else self.options.contacts
+        )
         xw, vel = algos.kinematics(tree, q, v)
         fext, f_contact = compute_contact_fext(
-            tree, xw, vel, ground, self.options.contacts
+            tree, xw, vel, ground, cparams
         )
         if self.forces:
             fext = fext + compute_registered_forces(
@@ -311,6 +316,7 @@ class Engine:
         ground,
         fext_user: jax.Array | None,
         lam0: jax.Array | None = None,
+        contact_params=None,
     ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
         """One semi-implicit Euler substep with velocity-level PGS impulses
         for kinematic constraints and (if contact_model == "constraint")
@@ -323,6 +329,11 @@ class Engine:
         tree = self.tree
         dt = self.options.dt
         opts = self.options
+        # per-env contact-parameter override (domain randomization: the
+        # params are pytree leaves, so a vmapped caller can pass batched
+        # per-env friction/stiffness — reference: model randomization
+        # hooks, SURVEY.md §2.1 "Model")
+        cparams = contact_params if contact_params is not None else opts.contacts
         # joint transforms computed once and shared by kinematics/CRBA/RNEA
         xl = algos._local_transforms(tree, q)
         xw, vel = algos.kinematics(tree, q, v, xl=xl)
@@ -338,7 +349,7 @@ class Engine:
         f_contact_sd = jnp.zeros((tree.ncp, 3), dtype=q.dtype)
         if opts.contact_model == "spring_damper" and tree.ncp > 0:
             fext_c, f_contact_sd = compute_contact_fext(
-                tree, xw, vel, ground, opts.contacts
+                tree, xw, vel, ground, cparams
             )
             fext = fext_c if fext is None else fext + fext_c
 
@@ -437,7 +448,9 @@ class Engine:
                 )
                 actives.append(jnp.repeat(depth[k] > 0.0, 3))
                 mu_parts.append(
-                    jnp.full(3, opts.contacts.friction, dtype=q.dtype)
+                    jnp.broadcast_to(
+                        jnp.asarray(cparams.friction, q.dtype), (3,)
+                    )
                 )
                 off += 3
 
@@ -497,9 +510,12 @@ class Engine:
         n_substeps: int = 1,
         ground=None,
         fext_user: jax.Array | None = None,
+        contact_params=None,
     ) -> SimState:
         """Advance by ``n_substeps × options.dt`` with zero-order-hold
-        command ``u`` (nv,). Pure; jit/vmap-able."""
+        command ``u`` (nv,). Pure; jit/vmap-able. ``contact_params``
+        optionally overrides the engine's ContactParams — pass batched
+        per-env values under vmap for domain randomization."""
         ground = ground if ground is not None else self.ground
         dt = self.options.dt
         stepper = self._stepper
@@ -510,7 +526,8 @@ class Engine:
             def body_imp(carry, _):
                 q, v, t, _, _, lam = carry
                 q, v, f_c, res, lam = self._impulse_substep(
-                    q, v, t, u, ground, fext_user, lam0=lam
+                    q, v, t, u, ground, fext_user, lam0=lam,
+                    contact_params=contact_params,
                 )
                 return (q, v, t + dt, f_c, res, lam), None
 
@@ -532,8 +549,15 @@ class Engine:
                 solver_residual=res, lam=lam,
             )
 
+        cparams = (
+            contact_params if contact_params is not None
+            else self.options.contacts
+        )
+
         def dyn(q, v, t):
-            a, _ = self.dynamics(q, v, t, u, ground, fext_user)
+            a, _ = self.dynamics(
+                q, v, t, u, ground, fext_user, contact_params=cparams
+            )
             return a
 
         def body(carry, _):
