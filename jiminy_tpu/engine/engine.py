@@ -85,6 +85,10 @@ class EngineOptions:
     # "Model"), or "auto" (constraint on the impulse path, else penalty)
     bounds_model: str = "auto"
     bounds_baumgarte_freq: float = 20.0
+    # compute the per-substep KKT residual (solver-health telemetry, the
+    # reference's stepper stats); ~5% substep cost — envs that don't
+    # consume it can disable
+    compute_solver_residual: bool = True
     # joint position bounds as smooth penalty forces (reference models them
     # as constraints or internal spring-damper dynamics; SURVEY.md §2.1
     # "Model": bounds-as-constraints)
@@ -484,6 +488,7 @@ class Engine:
             iters=opts.pgs_iters,
             relax=opts.pgs_relax,
             lam0=lam0,
+            compute_residual=opts.compute_solver_residual,
         )
         v_next = v_free + MinvJT @ lam
         q_next = algos.integrate(tree, q, v_next, dt)

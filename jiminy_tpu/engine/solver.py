@@ -148,6 +148,7 @@ def pgs_solve_grouped(
     iters: int = 16,
     relax: float = 1.0,
     lam0: jax.Array | None = None,
+    compute_residual: bool = True,
 ) -> tuple[jax.Array, jax.Array]:
     """Latency-optimized PGS: same math as :func:`pgs_solve`, but rows that
     barely couple update TOGETHER (projected Jacobi within a group) while
@@ -217,5 +218,10 @@ def pgs_solve_grouped(
         return lam, None
 
     lam, _ = jax.lax.scan(sweep, lam, None, length=iters)
-    residual = kkt_residual(A, b, lam, active, bounds_span, contact_colors)
+    if compute_residual:
+        residual = kkt_residual(
+            A, b, lam, active, bounds_span, contact_colors
+        )
+    else:
+        residual = jnp.zeros((), A.dtype)
     return lam, residual

@@ -85,7 +85,11 @@ class WalkerEnv(BaseEnv):
             return kp_ * (cmd - qm) - kd_ * vm
 
         opts = engine_options or EngineOptions(
-            dt=sim_dt, contact_model="constraint", pgs_iters=pgs_iters
+            dt=sim_dt,
+            contact_model="constraint",
+            pgs_iters=pgs_iters,
+            # RL envs don't consume solver telemetry; skip its ~5% cost
+            compute_solver_residual=False,
         )
         engine = Engine(
             robot.tree,
