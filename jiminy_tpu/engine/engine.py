@@ -80,6 +80,12 @@ class EngineOptions:
     # steady-state penetration down to the slop
     contact_max_correction_vel: float = 0.2
     contact_slop: float = 1e-3
+    # dense-solve backend for the impulse path: "xla" (fused column-
+    # vectorized chain — default, fastest measured) or "pallas" (the
+    # batch-lane VMEM-resident kernel in ops/constraint_solve.py; engaged
+    # under vmap via custom_vmap, parity-speed at humanoid sizes — see
+    # docs/tpu_performance.md "Pallas constraint-solve kernel")
+    constraint_solver: str = "xla"
     # joint position bounds: "penalty" (spring-damper torque), "constraint"
     # (PGS rows — the reference's bounds-as-constraints, SURVEY.md §2.1
     # "Model"), or "auto" (constraint on the impulse path, else penalty)
@@ -135,6 +141,11 @@ class Engine:
         self.controller = controller
         if self.options.solver not in steppers.STEPPERS:
             raise ValueError(f"unknown solver {self.options.solver!r}")
+        if self.options.constraint_solver not in ("xla", "pallas"):
+            raise ValueError(
+                f"unknown constraint_solver "
+                f"{self.options.constraint_solver!r}"
+            )
         self._stepper = steppers.STEPPERS[self.options.solver]
         # constraint/impulse path: PGS at the velocity level fused with a
         # semi-implicit Euler step (SURVEY.md §2.7 item 2)
@@ -367,11 +378,15 @@ class Engine:
         # fixed-step SPMD needs this instead, SURVEY.md §7 hard-parts).
         M = algos.crba(tree, q, xl=xl)
         M = M + jnp.diag(dt * tree.damping + dt * dt * tree.stiffness)
-        L = linalg.cholesky(M)
         bias = algos.rnea(tree, q, v, jnp.zeros_like(v), fext, xl=xl)
         tau = tau - dt * tree.stiffness * v
-        a_free = linalg.cho_solve(L, tau - bias)
-        v_free = v + dt * a_free
+        p_free = tau - bias
+        use_pallas = self.options.constraint_solver == "pallas"
+        if not use_pallas:
+            # the Pallas kernel factors M itself — skip the XLA chain there
+            L = linalg.cholesky(M)
+            a_free = linalg.cho_solve(L, p_free)
+            v_free = v + dt * a_free
 
         # ---- assemble constraint rows -------------------------------------
         J_k, target_k, active_k, blocks = cstr.assemble(
@@ -460,6 +475,8 @@ class Engine:
 
         nc = off
         if nc == 0:
+            if use_pallas:
+                v_free = v + dt * linalg.solve_psd(M, p_free)
             q_next = algos.integrate(tree, q, v_free, dt)
             return (
                 q_next, v_free, f_contact_sd, jnp.zeros((), q.dtype),
@@ -471,26 +488,48 @@ class Engine:
         active = jnp.concatenate(actives, axis=0)
         mu = jnp.concatenate(mu_parts, axis=0)
 
-        MinvJT = linalg.cho_solve(L, J.T)  # (nv, nc)
-        A = J @ MinvJT + opts.pgs_reg * jnp.eye(nc, dtype=q.dtype)
-        rhs = target - J @ v_free
-        # contacts in two interleaved colors (diagonal leg pairs on
-        # quadrupeds): within a color rows update as vector ops — same
-        # fixed point, ~4× shorter sequential chain (see pgs_solve_grouped)
-        lam, residual = pgs_solve_grouped(
-            A,
-            rhs,
-            mu,
-            active,
-            eq_blocks=blocks,
-            bounds_span=bounds_span,
-            contact_colors=contact_colors,
-            iters=opts.pgs_iters,
-            relax=opts.pgs_relax,
-            lam0=lam0,
-            compute_residual=opts.compute_solver_residual,
-        )
-        v_next = v_free + MinvJT @ lam
+        if use_pallas:
+            from jiminy_tpu.ops import SolveConfig, make_constraint_solver
+
+            cfg = SolveConfig(
+                n=tree.nv,
+                nc=nc,
+                dt=float(dt),
+                eq_blocks=tuple(blocks),
+                bounds_span=bounds_span,
+                contact_colors=tuple(contact_colors),
+                iters=opts.pgs_iters,
+                relax=opts.pgs_relax,
+                reg=opts.pgs_reg,
+                compute_residual=opts.compute_solver_residual,
+            )
+            lam_w = (
+                lam0 if lam0 is not None else jnp.zeros(nc, dtype=q.dtype)
+            )
+            v_next, lam, residual = make_constraint_solver(cfg)(
+                M, p_free, v, J, target, mu, active, lam_w
+            )
+        else:
+            MinvJT = linalg.cho_solve(L, J.T)  # (nv, nc)
+            A = J @ MinvJT + opts.pgs_reg * jnp.eye(nc, dtype=q.dtype)
+            rhs = target - J @ v_free
+            # contacts in two interleaved colors (diagonal leg pairs on
+            # quadrupeds): within a color rows update as vector ops — same
+            # fixed point, ~4× shorter chain (see pgs_solve_grouped)
+            lam, residual = pgs_solve_grouped(
+                A,
+                rhs,
+                mu,
+                active,
+                eq_blocks=blocks,
+                bounds_span=bounds_span,
+                contact_colors=contact_colors,
+                iters=opts.pgs_iters,
+                relax=opts.pgs_relax,
+                lam0=lam0,
+                compute_residual=opts.compute_solver_residual,
+            )
+            v_next = v_free + MinvJT @ lam
         q_next = algos.integrate(tree, q, v_next, dt)
 
         if use_contact_blocks:
