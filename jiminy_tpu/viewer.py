@@ -20,12 +20,20 @@ from jiminy_tpu.core.tree import KinematicTree
 
 
 def extract_skeleton_frames(
-    tree: KinematicTree, qs: np.ndarray, max_frames: int = 300
+    tree: KinematicTree,
+    qs: np.ndarray,
+    max_frames: int = 300,
+    forces: np.ndarray | None = None,
 ) -> dict:
     """FK over a trajectory → JSON-able skeleton data.
 
     Returns {"segments": [(parent_body, body), ...] indices,
-    "frames": (F, nb, 3) body origins, "contacts": (F, ncp, 3)}."""
+    "frames": (F, nb, 3) body origins, "contacts": (F, ncp, 3),
+    "com": (F, 3) whole-body center of mass}; with ``forces`` (a
+    (T, ncp, 3) world-frame contact-force history, e.g.
+    ``SimState.contact_forces`` stacked over time) also "force_tips":
+    contact-force marker arrows, the reference Viewer's force/CoM
+    markers (SURVEY.md §2.3 "Viewer / replay")."""
     import jax
     import jax.numpy as jnp
 
@@ -45,19 +53,27 @@ def extract_skeleton_frames(
             )
         else:
             cps = jnp.zeros((0, 3))
-        return pts, cps
+        return pts, cps, algos.com_position(tree, xw)
 
-    pts, cps = jax.jit(jax.vmap(fk))(jnp.asarray(qs[idx]))
+    pts, cps, com = jax.jit(jax.vmap(fk))(jnp.asarray(qs[idx]))
     segments = [
         (tree.parent[i], i) for i in range(tree.nb) if tree.parent[i] >= 0
     ]
-    return {
+    out = {
         "segments": segments,
         "frames": np.asarray(pts).round(4).tolist(),
         "contacts": np.asarray(cps).round(4).tolist(),
+        "com": np.asarray(com).round(4).tolist(),
         "body_names": list(tree.body_name),
         "frame_idx": idx.tolist(),
     }
+    if forces is not None and tree.ncp:
+        f = np.asarray(forces)[idx]  # (F, ncp, 3)
+        weight = float(np.sum(np.asarray(tree.inertia_mass))) * 9.81
+        # arrow tip = contact point + f/weight · 0.3 m (≈0.3 m per bodyweight)
+        tips = np.asarray(cps) + f / max(weight, 1e-6) * 0.3
+        out["force_tips"] = tips.round(4).tolist()
+    return out
 
 
 _HTML = """<!DOCTYPE html><html><head><meta charset="utf-8">
@@ -117,6 +133,29 @@ function draw(f) {{
       const p=proj(c,axes[ci],cv.width,cv.height);
       g.beginPath(); g.arc(p[0],p[1],3,0,7); g.fill();
     }}
+    // contact-force arrows (marker parity with the reference Viewer)
+    if (D.force_tips) {{
+      g.strokeStyle='#f80'; g.lineWidth=1.5; g.beginPath();
+      const tips=D.force_tips[f]||[];
+      for (let k=0;k<tips.length;k++) {{
+        const p=proj(C[f][k],axes[ci],cv.width,cv.height);
+        const q=proj(tips[k],axes[ci],cv.width,cv.height);
+        g.moveTo(p[0],p[1]); g.lineTo(q[0],q[1]);
+      }}
+      g.stroke();
+    }}
+    // CoM marker + trail
+    if (D.com) {{
+      g.strokeStyle='#5d5'; g.lineWidth=1; g.beginPath();
+      for (let k=Math.max(0,f-40); k<=f; k++) {{
+        const p=proj(D.com[k],axes[ci],cv.width,cv.height);
+        (k===Math.max(0,f-40)) ? g.moveTo(p[0],p[1]) : g.lineTo(p[0],p[1]);
+      }}
+      g.stroke();
+      g.fillStyle='#5d5';
+      const m=proj(D.com[f],axes[ci],cv.width,cv.height);
+      g.beginPath(); g.arc(m[0],m[1],4,0,7); g.fill();
+    }}
     g.fillStyle='#e55';
     const r=proj(F[f][0],axes[ci],cv.width,cv.height);
     g.beginPath(); g.arc(r[0],r[1],4,0,7); g.fill();
@@ -142,9 +181,14 @@ def replay_html(
     path: str | Path,
     title: str = "jiminy_tpu replay",
     max_frames: int = 300,
+    forces=None,
 ) -> None:
-    """Write a standalone animated replay of a (T, nq) trajectory."""
-    data = extract_skeleton_frames(tree, qs, max_frames=max_frames)
+    """Write a standalone animated replay of a (T, nq) trajectory.
+    ``forces``: optional (T, ncp, 3) contact-force history → arrow
+    markers, as the reference Viewer's force markers."""
+    data = extract_skeleton_frames(
+        tree, qs, max_frames=max_frames, forces=forces
+    )
     Path(path).write_text(
         _HTML.format(title=title, data=json.dumps(data))
     )

@@ -19,6 +19,39 @@ class TestViewer:
         assert "canvas" in html and '"segments"' in html
         assert html.count("frames") >= 1
 
+    def test_markers_com_and_forces(self, tmp_path):
+        """CoM marker always present; force arrows when forces passed
+        (reference Viewer markers — SURVEY.md §2.3)."""
+        import json
+
+        from jiminy_tpu.engine.engine import Engine, EngineOptions
+        from jiminy_tpu.viewer import extract_skeleton_frames, replay_html
+        from tests.test_constraints import make_free_box
+
+        tree = make_free_box()
+        eng = Engine(
+            tree, EngineOptions(dt=2e-3, contact_model="constraint")
+        )
+        st = eng.reset(q=tree.neutral_q().at[2].set(0.12))
+        qs, fs = [], []
+        step = jax.jit(lambda s: eng.step(s, jnp.zeros(tree.nv)))
+        for _ in range(30):
+            st = step(s=st)
+            qs.append(np.asarray(st.q))
+            fs.append(np.asarray(st.contact_forces))
+        qs, fs = np.stack(qs), np.stack(fs)
+        data = extract_skeleton_frames(tree, qs, forces=fs)
+        assert len(data["com"]) == len(data["frames"])
+        # box com ≈ body origin
+        np.testing.assert_allclose(
+            data["com"][0], qs[0][:3], atol=1e-3
+        )
+        assert np.shape(data["force_tips"]) == (30, tree.ncp, 3)
+        p = tmp_path / "markers.html"
+        replay_html(tree, qs, p, forces=fs)
+        html = p.read_text()
+        assert '"com"' in html and '"force_tips"' in html
+
     def test_replay_from_log(self, tmp_path):
         from jiminy_tpu.engine.ground import FlatGround
         from jiminy_tpu.models.toys import make_pendulum
