@@ -53,7 +53,7 @@ def main():
     out.mkdir(parents=True, exist_ok=True)
 
     from jiminy_tpu.checkpoint import CheckpointManager
-    from jiminy_tpu.rl import PPOConfig
+    from jiminy_tpu.rl import MetricsLogger, PPOConfig
     from jiminy_tpu.rl.ppo import make_train_fn
 
     env = make_env(args.env, args.max_steps)
@@ -78,24 +78,21 @@ def main():
 
     steps_per_iter = cfg.num_envs * cfg.rollout_len
     t0 = time.perf_counter()
-    with open(out / "metrics.jsonl", "w") as f:
+    with MetricsLogger(out, run_name=f"{args.env}-seed{args.seed}") as lg:
         for i in range(args.iters):
             carry, metrics = step(carry)
             if i % 10 == 0 or i == args.iters - 1:
                 m = {k: float(v) for k, v in metrics.items()}
-                m.update(
-                    iter=i,
-                    env_steps=(i + 1) * steps_per_iter,
-                    wall_s=time.perf_counter() - t0,
-                )
-                f.write(json.dumps(m) + "\n")
-                f.flush()
+                m["iter"] = i
+                m["env_steps"] = (i + 1) * steps_per_iter
+                lg.log(i, m)
                 if i % 100 == 0:
+                    dt_now = time.perf_counter() - t0
                     print(
                         f"iter {i:5d} reward {m['reward_mean']:7.3f} "
                         f"done% {100 * m['episode_done_frac']:5.2f} "
                         f"kl {m['approx_kl']:.4f} "
-                        f"{m['env_steps'] / m['wall_s']:,.0f} steps/s",
+                        f"{m['env_steps'] / dt_now:,.0f} steps/s",
                         flush=True,
                     )
             if i and i % 1000 == 0:
