@@ -194,6 +194,72 @@ def replay_html(
     )
 
 
+def record_gif(
+    tree: KinematicTree,
+    qs,
+    path: str | Path,
+    fps: int = 25,
+    size: int = 420,
+    forces=None,
+    max_frames: int = 150,
+) -> None:
+    """Render a trajectory to an animated GIF (side x–z view with ground
+    line, skeleton, contact points, CoM marker and optional force
+    arrows) — the reference Viewer's video-recording capability
+    (SURVEY.md §2.3 "Viewer / replay": video record) for headless hosts.
+    """
+    from PIL import Image, ImageDraw
+
+    data = extract_skeleton_frames(
+        tree, qs, max_frames=max_frames, forces=forces
+    )
+    frames = np.asarray(data["frames"])  # (F, nb, 3)
+    com = np.asarray(data["com"])
+    cps = np.asarray(data["contacts"])
+    tips = np.asarray(data.get("force_tips", []))
+    lo = frames.reshape(-1, 3).min(0)
+    hi = frames.reshape(-1, 3).max(0)
+    span = max(hi[0] - lo[0], hi[2] - lo[2], 0.5) * 1.25
+    cx, cz = (lo[0] + hi[0]) / 2, (lo[2] + hi[2]) / 2
+
+    def prj(p):
+        return (
+            size / 2 + (p[0] - cx) / span * size,
+            size / 2 - (p[2] - cz) / span * size,
+        )
+
+    imgs = []
+    for f in range(len(frames)):
+        im = Image.new("RGB", (size, size), (27, 27, 27))
+        d = ImageDraw.Draw(im)
+        gy = prj([0, 0, 0])[1]
+        d.line([(0, gy), (size, gy)], fill=(70, 70, 70), width=1)
+        for a, b in data["segments"]:
+            d.line(
+                [prj(frames[f][a]), prj(frames[f][b])],
+                fill=(102, 170, 238), width=2,
+            )
+        if len(tips):
+            for k in range(cps.shape[1]):
+                d.line(
+                    [prj(cps[f][k]), prj(tips[f][k])],
+                    fill=(255, 136, 0), width=2,
+                )
+        for k in range(cps.shape[1] if cps.ndim == 3 else 0):
+            x, y = prj(cps[f][k])
+            d.ellipse([x - 2, y - 2, x + 2, y + 2], fill=(255, 204, 102))
+        x, y = prj(com[f])
+        d.ellipse([x - 4, y - 4, x + 4, y + 4], fill=(85, 221, 85))
+        imgs.append(im)
+    imgs[0].save(
+        str(path),
+        save_all=True,
+        append_images=imgs[1:],
+        duration=int(1000 / fps),
+        loop=0,
+    )
+
+
 def replay_from_log(tree: KinematicTree, log, path: str | Path, **kw) -> None:
     """Replay straight from a TelemetryLog containing q.* columns
     (reference: extract_replay_data_from_log + play_trajectories)."""

@@ -109,3 +109,16 @@ class TestPcgJax:
         vals = np.array(vals)
         assert vals.min() >= -1.0 and vals.max() <= 1.0
         assert abs(vals.mean()) < 0.2
+
+    def test_record_gif(self, tmp_path):
+        """Animated GIF export (reference: video recording)."""
+        from jiminy_tpu.models.toys import make_double_pendulum
+        from jiminy_tpu.viewer import record_gif
+
+        tree = make_double_pendulum()
+        ts = np.linspace(0, 2 * np.pi, 40)
+        qs = np.stack([np.sin(ts), np.cos(ts)], axis=1)
+        p = tmp_path / "swing.gif"
+        record_gif(tree, qs, p, fps=20)
+        raw = p.read_bytes()
+        assert raw[:6] in (b"GIF87a", b"GIF89a") and len(raw) > 2000
