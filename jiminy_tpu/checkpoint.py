@@ -65,6 +65,33 @@ def restore_checkpoint(path: str | Path, template):
     return _unstrip_empty(template, restored)
 
 
+def restore_raw(path: str | Path):
+    """Restore a checkpoint WITHOUT a template, as plain (nested) pytrees
+    on the current default device — shapes/dtypes come from the stored
+    metadata, and shardings recorded on other hardware (e.g. a TPU
+    checkpoint opened on a CPU host) fall back to a local single-device
+    placement. Use for inference/evaluation from checkpoints whose carry
+    structure predates the current code (fields added/removed since)."""
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    if path.is_dir() and not (path / "_METADATA").exists():
+        # manager layout: <dir>/<step>/default — pick the latest step
+        steps = sorted(
+            int(p.name) for p in path.iterdir() if p.name.isdigit()
+        )
+        if steps:
+            path = path / str(steps[-1]) / "default"
+    fallback = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+    with ocp.Checkpointer(ocp.StandardCheckpointHandler()) as ckptr:
+        return ckptr.restore(
+            path,
+            args=ocp.args.StandardRestore(
+                item=None, fallback_sharding=fallback
+            ),
+        )
+
+
 class CheckpointManager:
     """Rolling checkpoints for a training loop (keep-N, step-indexed)."""
 
@@ -83,13 +110,27 @@ class CheckpointManager:
 
         self._mgr.save(step, args=ocp.args.StandardSave(_strip_empty(state)))
 
-    def restore(self, template, step: int | None = None):
+    def restore(self, template, step: int | None = None,
+                partial: bool = False):
+        """``partial=True`` restores only the leaves present in both the
+        template and the checkpoint — forward-compatible restore of old
+        checkpoints after pytree fields were added/removed (e.g. loading
+        params out of a carry saved by an earlier engine version)."""
         import orbax.checkpoint as ocp
 
         step = self._mgr.latest_step() if step is None else step
-        restored = self._mgr.restore(
-            step, args=ocp.args.StandardRestore(_strip_empty(template))
-        )
+        stripped = _strip_empty(template)
+        if partial:
+            args = ocp.args.PyTreeRestore(
+                item=stripped,
+                restore_args=ocp.checkpoint_utils.construct_restore_args(
+                    stripped
+                ),
+                partial_restore=True,
+            )
+        else:
+            args = ocp.args.StandardRestore(stripped)
+        restored = self._mgr.restore(step, args=args)
         return _unstrip_empty(template, restored)
 
     @property

@@ -77,14 +77,18 @@ def play(
     n_steps: int = 250,
     key=None,
     replay_path=None,
+    gif_path=None,
     frame_stride: int = 2,
 ):
     """Single-env rollout; returns (states list's qs, rewards). With
-    ``replay_path``, writes the HTML replay of the run."""
+    ``replay_path``, writes the HTML replay (CoM + contact-force
+    markers); with ``gif_path``, also records an animated GIF."""
     key = key if key is not None else jax.random.PRNGKey(0)
     st = jax.jit(env.reset)(key)
     step = jax.jit(env.step_no_reset)
-    qs, rewards = [np.asarray(st.sim.q)], []
+    qs, fs, rewards = [np.asarray(st.sim.q)], [
+        np.asarray(st.sim.contact_forces)
+    ], []
     for t in range(n_steps):
         if policy_fn is None:
             a = jnp.zeros(env.action_size)
@@ -94,11 +98,16 @@ def play(
         rewards.append(float(st.reward))
         if t % frame_stride == 0:
             qs.append(np.asarray(st.sim.q))
+            fs.append(np.asarray(st.sim.contact_forces))
         if bool(st.done):
             break
-    qs = np.stack(qs)
+    qs, fs = np.stack(qs), np.stack(fs)
     if replay_path is not None:
         from jiminy_tpu.viewer import replay_html
 
-        replay_html(env.tree, qs, replay_path)
+        replay_html(env.tree, qs, replay_path, forces=fs)
+    if gif_path is not None:
+        from jiminy_tpu.viewer import record_gif
+
+        record_gif(env.tree, qs, gif_path, forces=fs)
     return qs, np.asarray(rewards)

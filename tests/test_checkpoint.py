@@ -83,3 +83,24 @@ class TestCheckpoint:
         cont_a = step(st)
         cont_b = step(back)
         np.testing.assert_array_equal(np.asarray(cont_a.q), np.asarray(cont_b.q))
+
+
+class TestForwardCompatRestore:
+    def test_restore_raw_without_template(self, tmp_path):
+        """Checkpoints restore as raw pytrees with no template — the
+        escape hatch for loading carries whose structure predates the
+        current code (e.g. params from an old training run)."""
+        import jax.numpy as jnp
+
+        from jiminy_tpu.checkpoint import CheckpointManager, restore_raw
+
+        carry = (
+            {"w": jnp.arange(6.0).reshape(2, 3)},
+            (jnp.float32(3.0),),
+        )
+        mgr = CheckpointManager(tmp_path / "ck")
+        mgr.save(7, carry)
+        mgr.close()
+        raw = restore_raw(tmp_path / "ck")  # finds latest step itself
+        w = raw[0]["w"] if isinstance(raw, (list, tuple)) else raw["0"]["w"]
+        np.testing.assert_allclose(np.asarray(w), carry[0]["w"])
