@@ -19,11 +19,13 @@ import jax
 import numpy as np
 
 
-def make_env(name: str, max_steps: int):
+def make_env(name: str, max_steps: int, terrain=None, push=0.0):
     import jiminy_tpu.envs as E
 
     if name == "anymal":
-        return E.ANYmalEnv(max_steps=max_steps)
+        return E.ANYmalEnv(
+            max_steps=max_steps, terrain=terrain, push_magnitude=push
+        )
     if name == "cassie":
         return E.CassieEnv(sim_dt=2e-3, max_steps=max_steps, target_speed=0.4)
     if name == "ant":
@@ -48,6 +50,11 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--ent-coef", type=float, default=0.005)
+    ap.add_argument(
+        "--terrain", default=None, choices=[None, "flat", "perlin", "stairs"]
+    )
+    ap.add_argument("--push", type=float, default=0.0,
+                    help="random push impulse magnitude (N·s), anymal only")
     args = ap.parse_args()
     out = pathlib.Path(args.out or f"/tmp/{args.env}_run")
     out.mkdir(parents=True, exist_ok=True)
@@ -56,7 +63,7 @@ def main():
     from jiminy_tpu.rl import MetricsLogger, PPOConfig
     from jiminy_tpu.rl.ppo import make_train_fn
 
-    env = make_env(args.env, args.max_steps)
+    env = make_env(args.env, args.max_steps, args.terrain, args.push)
     cfg = PPOConfig(
         num_envs=args.num_envs,
         rollout_len=32,
