@@ -80,12 +80,16 @@ class EngineOptions:
     # steady-state penetration down to the slop
     contact_max_correction_vel: float = 0.2
     contact_slop: float = 1e-3
-    # dense-solve backend for the impulse path: "xla" (fused column-
-    # vectorized chain — default, fastest measured) or "pallas" (the
-    # batch-lane VMEM-resident kernel in ops/constraint_solve.py; engaged
-    # under vmap via custom_vmap, parity-speed at humanoid sizes — see
-    # docs/tpu_performance.md "Pallas constraint-solve kernel")
-    constraint_solver: str = "xla"
+    # dense-solve backend for the impulse path:
+    #   "pallas" — the batch-lane VMEM-resident kernel in
+    #     ops/constraint_solve.py, engaged under vmap via custom_vmap.
+    #     1.7× END-TO-END on TPU (1.76M vs 1.03M ANYmal env-steps/s: one
+    #     kernel replaces dozens of small XLA ops + their HBM round
+    #     trips per substep — docs/tpu_performance.md).
+    #   "xla" — fused column-vectorized chain (fastest on CPU; also the
+    #     f64 parity path).
+    #   "auto" (default) — "pallas" on TPU, "xla" elsewhere.
+    constraint_solver: str = "auto"
     # joint position bounds: "penalty" (spring-damper torque), "constraint"
     # (PGS rows — the reference's bounds-as-constraints, SURVEY.md §2.1
     # "Model"), or "auto" (constraint on the impulse path, else penalty)
@@ -141,10 +145,15 @@ class Engine:
         self.controller = controller
         if self.options.solver not in steppers.STEPPERS:
             raise ValueError(f"unknown solver {self.options.solver!r}")
-        if self.options.constraint_solver not in ("xla", "pallas"):
+        if self.options.constraint_solver not in ("auto", "xla", "pallas"):
             raise ValueError(
                 f"unknown constraint_solver "
                 f"{self.options.constraint_solver!r}"
+            )
+        self._solver_backend = self.options.constraint_solver
+        if self._solver_backend == "auto":
+            self._solver_backend = (
+                "pallas" if jax.default_backend() == "tpu" else "xla"
             )
         self._stepper = steppers.STEPPERS[self.options.solver]
         # constraint/impulse path: PGS at the velocity level fused with a
@@ -381,7 +390,7 @@ class Engine:
         bias = algos.rnea(tree, q, v, jnp.zeros_like(v), fext, xl=xl)
         tau = tau - dt * tree.stiffness * v
         p_free = tau - bias
-        use_pallas = self.options.constraint_solver == "pallas"
+        use_pallas = self._solver_backend == "pallas"
         if not use_pallas:
             # the Pallas kernel factors M itself — skip the XLA chain there
             L = linalg.cholesky(M)
