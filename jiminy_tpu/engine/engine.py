@@ -145,7 +145,9 @@ class Engine:
         self.controller = controller
         if self.options.solver not in steppers.STEPPERS:
             raise ValueError(f"unknown solver {self.options.solver!r}")
-        if self.options.constraint_solver not in ("auto", "xla", "pallas"):
+        if self.options.constraint_solver not in (
+            "auto", "xla", "pallas", "pallas_substep"
+        ):
             raise ValueError(
                 f"unknown constraint_solver "
                 f"{self.options.constraint_solver!r}"
@@ -169,6 +171,89 @@ class Engine:
                 "constraint/impulse dynamics requires the euler_symplectic "
                 "stepper (velocity-level impulses)"
             )
+        self._substep_fn = None
+        if self._solver_backend == "pallas_substep":
+            self._substep_fn = self._build_substep_kernel()
+            self._solver_backend = "pallas"  # fallback for gated calls
+
+    def _build_substep_kernel(self):
+        """Whole-substep Pallas kernel (ops/substep_kernel.py): validates
+        the engine config is inside the kernel's scope and returns a
+        custom_vmap'd (q, v, tau, lam0) → (q⁺, v⁺, λ, residual)."""
+        from jiminy_tpu.engine.ground import FlatGround
+        from jiminy_tpu.ops.constraint_solve import SolveConfig
+        from jiminy_tpu.ops.substep_kernel import (
+            SubstepSpec,
+            substep_batched_pallas,
+        )
+
+        opts, tree = self.options, self.tree
+        bad = []
+        if opts.solver not in ("euler_symplectic", "euler_explicit"):
+            bad.append("stepper must be euler_symplectic")
+        if opts.contact_model != "constraint":
+            bad.append("contact_model must be 'constraint'")
+        if not isinstance(self.ground, FlatGround):
+            bad.append("ground must be FlatGround")
+        if self.forces or self.constraints:
+            bad.append("registered forces/constraints unsupported")
+        if any(
+            tree.joint_type[i]
+            not in (JointType.FREE, JointType.REVOLUTE, JointType.PRISMATIC)
+            for i in range(tree.nb)
+        ):
+            bad.append("spherical/flexibility joints unsupported")
+        if self._bounds_mode() != "constraint" or not opts.enable_bounds:
+            bad.append("bounds must run as constraints")
+        if bad:
+            raise ValueError(
+                "constraint_solver='pallas_substep' unsupported here: "
+                + "; ".join(bad)
+            )
+        bj = self._bounded_joints()
+        ncp = tree.ncp
+        color_order = list(range(0, ncp, 2)) + list(range(1, ncp, 2))
+        n0 = len(range(0, ncp, 2))
+        off = len(bj)
+        colors = (
+            ((off, n0), (off + 3 * n0, ncp - n0)) if ncp else ()
+        )
+        cfg = SolveConfig(
+            n=tree.nv,
+            nc=off + 3 * ncp,
+            dt=float(opts.dt),
+            eq_blocks=(),
+            bounds_span=(0, off) if off else None,
+            contact_colors=colors,
+            iters=opts.pgs_iters,
+            relax=opts.pgs_relax,
+            reg=opts.pgs_reg,
+            compute_residual=opts.compute_solver_residual,
+        )
+        spec = SubstepSpec(
+            tree, opts, cfg, bj, color_order,
+            float(self.ground.height), float(opts.contacts.friction),
+        )
+        self._substep_color_order = color_order
+        self._substep_contact_off = off
+
+        @jax.custom_batching.custom_vmap
+        def substep(q, v, tau, lam0):
+            out = substep_batched_pallas(
+                spec, q[None], v[None], tau[None], lam0[None]
+            )
+            return tuple(o[0] for o in out)
+
+        @substep.def_vmap
+        def _rule(axis_size, in_batched, q, v, tau, lam0):
+            args = [q, v, tau, lam0]
+            for i, (a, b) in enumerate(zip(args, in_batched)):
+                if not b:
+                    args[i] = jnp.broadcast_to(a[None], (axis_size, *a.shape))
+            out = substep_batched_pallas(spec, *args)
+            return out, (True, True, True, True)
+
+        return substep
 
     @property
     def n_constraint_rows(self) -> int:
@@ -353,6 +438,44 @@ class Engine:
         tree = self.tree
         dt = self.options.dt
         opts = self.options
+
+        # whole-substep Pallas fast path (one kernel launch per substep)
+        if (
+            self._substep_fn is not None
+            and fext_user is None
+            and contact_params is None
+            and ground is self.ground
+        ):
+            tau = self._joint_torque(u, q, v, t)
+            lam_w = (
+                lam0
+                if lam0 is not None
+                else jnp.zeros(self.n_constraint_rows, dtype=q.dtype)
+            )
+            q2, v2, lam, res = self._substep_fn(q, v, tau, lam_w)
+            off = self._substep_contact_off
+            if tree.ncp:
+                lam_perm = lam[off:].reshape(tree.ncp, 3)
+                inv = [0] * tree.ncp
+                for j, k_orig in enumerate(self._substep_color_order):
+                    inv[k_orig] = j
+                lam_c = jnp.stack([lam_perm[inv[k]] for k in range(tree.ncp)])
+                # flat ground: t1=(0,−1,0), t2=(1,0,0), n=(0,0,1)
+                f_contact = (
+                    jnp.stack(
+                        [
+                            lam_c[:, 1],
+                            -lam_c[:, 0],
+                            lam_c[:, 2],
+                        ],
+                        axis=1,
+                    )
+                    / dt
+                )
+            else:
+                f_contact = jnp.zeros((0, 3), dtype=q.dtype)
+            return q2, v2, f_contact, res, lam
+
         # per-env contact-parameter override (domain randomization: the
         # params are pytree leaves, so a vmapped caller can pass batched
         # per-env friction/stiffness — reference: model randomization

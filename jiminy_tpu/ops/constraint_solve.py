@@ -117,19 +117,38 @@ def _pick_sublanes(n: int, nc: int) -> int:
 
 
 def _kernel_body(cfg: SolveConfig, refs):
+    """Standalone-kernel wrapper: read lane-major inputs, run the chain,
+    write outputs. M must already be written into T_ref by the caller."""
     (m_ref, p_ref, v_ref, jt_ref, tgt_ref, mu_ref, act_ref, lam0_ref,
      vn_ref, lam_ref, res_ref, T_ref, L_ref, X_ref, A_ref) = refs
+    T_ref[...] = m_ref[:, :, 0]
+    v_next, lam, res = _solve_chain(
+        cfg,
+        p_ref[:, 0],
+        v_ref[:, 0],
+        jt_ref[:, :, 0],
+        tgt_ref[:, 0],
+        mu_ref[:, 0],
+        act_ref[:, 0],
+        lam0_ref[:, 0],
+        T_ref, L_ref, X_ref, A_ref,
+    )
+    vn_ref[:, 0] = v_next
+    lam_ref[:, 0] = lam
+    res_ref[0, 0] = res
+
+
+def _solve_chain(cfg: SolveConfig, pv, vv, Jt, tgt, mu, act, lam0,
+                 T_ref, L_ref, X_ref, A_ref):
+    """The dense chain on lane-major VALUES: chol(T_ref) → X = M⁻¹[p|Jᵀ]
+    → Delassus → grouped PGS → v⁺. The caller has written M into T_ref
+    (destroyed). Shapes: pv/vv (n,S,128), Jt (n,nc,S,128), row vectors
+    (nc,S,128). Returns (v_next, λ, residual) values. Reused by both the
+    standalone constraint kernel and the whole-substep kernel."""
     n, nc = cfg.n, cfg.nc
     dt = jnp.float32(cfg.dt)
     relax = jnp.float32(cfg.relax)
-
-    pv = p_ref[:, 0]  # (n, S, 128)
-    vv = v_ref[:, 0]
-    Jt = jt_ref[:, :, 0]  # (n, nc, S, 128) — row k is column k of J
-    tgt = tgt_ref[:, 0]  # (nc, S, 128)
-    mu = mu_ref[:, 0]
-    act = act_ref[:, 0]  # float 0/1 mask
-    lam = lam0_ref[:, 0] * act
+    lam = lam0 * act
 
     # All large intermediates (trailing block T, factor L, multi-RHS X,
     # Delassus A) live in explicit VMEM scratch and update in place —
@@ -137,7 +156,6 @@ def _kernel_body(cfg: SolveConfig, refs):
     # iteration's copy and blow the 16 MB VMEM budget.
 
     # ---- Cholesky, right-looking: one rank-1 trailing update per column
-    T_ref[...] = m_ref[:, :, 0]
     for j in range(n):
         d = jnp.sqrt(jnp.maximum(T_ref[j, j], 1e-12))
         L_ref[j, j] = d
@@ -259,8 +277,6 @@ def _kernel_body(cfg: SolveConfig, refs):
 
     # ---- velocity update and outputs
     v_next = v_free + jnp.sum(X_ref[:, 1:] * lam[None], axis=1)
-    vn_ref[:, 0] = v_next
-    lam_ref[:, 0] = lam
 
     if cfg.compute_residual:
         def splice(x, s, e, vals):
@@ -297,9 +313,10 @@ def _kernel_body(cfg: SolveConfig, refs):
             viol = splice(
                 viol, s, e, (blk_v * blk_a).reshape(3 * k, *lam.shape[1:])
             )
-        res_ref[0, 0] = jnp.max(viol, axis=0)
+        res = jnp.max(viol, axis=0)
     else:
-        res_ref[0, 0] = jnp.zeros_like(v_free[0])
+        res = jnp.zeros_like(v_free[0])
+    return v_next, lam, res
 
 
 def _to_lane_major(x, batch_axis, G, S):

@@ -1,0 +1,642 @@
+"""Whole-substep Pallas kernel: one launch per physics substep.
+
+Extends ops/constraint_solve.py's lane-major design (batch on the lane
+dimension, every per-robot scalar a (S,128) vector of envs) backward
+through the ENTIRE impulse substep of engine/engine.py:
+
+    kinematics → CRBA(+armature+implicit diag) → RNEA bias
+    → contact/bound row assembly (flat ground) → [shared solve chain:
+    chol → M⁻¹[p|Jᵀ] → Delassus → grouped PGS] → integrate
+
+The constraint-solve kernel alone took the ANYmal bench 1.04M→1.49M
+env-steps/s by collapsing the chain's dozens of XLA kernel launches into
+one; this kernel removes the remaining per-substep launch cloud
+(kinematics/CRBA/RNEA are ~60 more small XLA ops each).
+
+Scope (gated in the engine; anything else falls back to the per-op
+paths): euler_symplectic stepper, constraint contact model, FLAT ground,
+FREE/REVOLUTE/PRISMATIC joints only, no user kinematic constraints, no
+external forces. Joint torque (controller + motor model + springs) is
+computed outside — it is user code and a handful of vector ops.
+
+Math is mirrored 1:1 from core/algos.py (kinematics/crba/rnea/
+point_jacobian/integrate) and engine/engine.py's row assembly; validated
+against them in tests/test_substep_kernel.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jiminy_tpu.core.tree import JointType, KinematicTree
+from jiminy_tpu.ops.constraint_solve import (
+    LANES,
+    SolveConfig,
+    _pick_sublanes,
+    _solve_chain,
+    _to_lane_major,
+)
+
+# ---------------------------------------------------------------------------
+# Lane-major mini spatial library: vec3 = [x,y,z], mat3 = 3×3 nested lists.
+# Elements are (S,128) jnp values or python floats (constants broadcast).
+# ---------------------------------------------------------------------------
+
+
+def v3(x=0.0, y=0.0, z=0.0):
+    return [x, y, z]
+
+
+def v_add(a, b):
+    return [a[i] + b[i] for i in range(3)]
+
+
+def v_sub(a, b):
+    return [a[i] - b[i] for i in range(3)]
+
+
+def v_scale(a, s):
+    return [a[i] * s for i in range(3)]
+
+
+def v_cross(a, b):
+    return [
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    ]
+
+
+def v_dot(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def m_id():
+    return [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+
+
+def m_mul(A, B):
+    return [
+        [sum(A[i][k] * B[k][j] for k in range(3)) for j in range(3)]
+        for i in range(3)
+    ]
+
+
+def m_vec(A, x):
+    return [sum(A[i][k] * x[k] for k in range(3)) for i in range(3)]
+
+
+def m_t(A):
+    return [[A[j][i] for j in range(3)] for i in range(3)]
+
+
+def m_tvec(A, x):  # Aᵀ x
+    return [sum(A[k][i] * x[k] for k in range(3)) for i in range(3)]
+
+
+def m_add(A, B):
+    return [[A[i][j] + B[i][j] for j in range(3)] for i in range(3)]
+
+
+def m_hat(p):  # skew(p)
+    return [
+        [0.0, -p[2], p[1]],
+        [p[2], 0.0, -p[0]],
+        [-p[1], p[0], 0.0],
+    ]
+
+
+def quat_to_m(q):  # q = [x,y,z,w] of lane scalars
+    x, y, z, w = q
+    xx, yy, zz = x * x, y * y, z * z
+    xy, xz, yz = x * y, x * z, y * z
+    wx, wy, wz = w * x, w * y, w * z
+    return [
+        [1.0 - 2.0 * (yy + zz), 2.0 * (xy - wz), 2.0 * (xz + wy)],
+        [2.0 * (xy + wz), 1.0 - 2.0 * (xx + zz), 2.0 * (yz - wx)],
+        [2.0 * (xz - wy), 2.0 * (yz + wx), 1.0 - 2.0 * (xx + yy)],
+    ]
+
+
+# Transforms as (R: mat3, p: vec3); spatial vectors as (w: vec3, v: vec3);
+# spatial inertias as (m, h: vec3, I: mat3) mirroring math/spatial.py.
+
+
+def x_compose(Ra, pa, Rb, pb):
+    return m_mul(Ra, Rb), v_add(m_vec(Ra, pb), pa)
+
+
+def motion_p2c(R, p, w, v):
+    """Transform.motion_parent_to_child on (w, v)."""
+    wc = m_tvec(R, w)
+    vc = m_tvec(R, v_sub(v, v_cross(p, w)))
+    return wc, vc
+
+
+def force_c2p(R, p, ang, lin):
+    """Transform.force_child_to_parent on (ang, lin)."""
+    lp = m_vec(R, lin)
+    ap = v_add(m_vec(R, ang), v_cross(p, lp))
+    return ap, lp
+
+
+def inertia_mul_motion(m, h, I, w, v):
+    """SpatialInertia.mul_motion: (ang, lin)."""
+    ang = v_add(m_vec(I, w), v_cross(h, v))
+    lin = v_sub(v_scale(v, m), v_cross(h, w))
+    return ang, lin
+
+
+def inertia_transform(m, h, I, R, p):
+    """SpatialInertia.transform_by(Transform(R, p)) — child C → parent A."""
+    rh = m_vec(R, h)
+    h_a = v_add(rh, v_scale(p, m))
+    ph = m_hat(p)
+    rot = m_mul(m_mul(R, I), m_t(R))  # mm3_bt(mm3(R, I), R)
+    t2 = m_mul(ph, m_t(m_hat(rh)))
+    t3 = m_mul(m_hat(h_a), m_t(ph))
+    return m, h_a, m_add(m_add(rot, t2), t3)
+
+
+def motion_cross6(w1, v1, w2, v2):
+    """motion_cross((w1,v1), (w2,v2))."""
+    return v_cross(w1, w2), v_add(v_cross(v1, w2), v_cross(w1, v2))
+
+
+def force_cross6(w, v, ang, lin):
+    """motion_cross_force((w,v), (ang,lin))."""
+    return (
+        v_add(v_cross(w, ang), v_cross(v, lin)),
+        v_cross(w, lin),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Static description of the substep problem
+# ---------------------------------------------------------------------------
+
+
+class SubstepSpec:
+    """Numpy-side constants extracted once from a KinematicTree + engine
+    options. Hash/eq by identity (one per engine instance)."""
+
+    def __init__(self, tree: KinematicTree, opts, solve_cfg: SolveConfig,
+                 bounded_joints, color_order, ground_height: float,
+                 friction: float):
+        f = lambda a: np.asarray(a, np.float64)
+        self.nb = tree.nb
+        self.nq, self.nv = tree.nq, tree.nv
+        self.ncp = tree.ncp
+        self.parent = [int(p) for p in tree.parent]
+        self.joint_type = [int(t) for t in tree.joint_type]
+        self.q_off = [int(o) for o in tree.q_off]
+        self.v_off = [int(o) for o in tree.v_off]
+        self.axis = f(tree.axis)
+        self.jp_rot = f(tree.jp_rot)  # (nb, 3, 3) joint placements
+        self.jp_pos = f(tree.jp_pos)
+        self.mass = f(tree.inertia_mass)
+        self.h = f(tree.inertia_h)
+        self.inertia = f(tree.inertia_mat)
+        self.armature = f(tree.armature)
+        self.damping = f(tree.damping)
+        self.stiffness = f(tree.stiffness)
+        self.gravity = f(tree.gravity)
+        self.q_min = f(tree.q_min)
+        self.q_max = f(tree.q_max)
+        self.contact_body = [int(b) for b in tree.contact_body]
+        self.contact_pos = f(tree.contact_pos)
+        self.opts = opts
+        self.cfg = solve_cfg
+        self.bounded_joints = list(bounded_joints)
+        self.color_order = list(color_order)
+        self.ground_height = float(ground_height)
+        self.friction = float(friction)
+
+
+def _lane(x, like):
+    """Broadcast a python float to the (S,128) lane shape of ``like``."""
+    if isinstance(x, (int, float)):
+        return jnp.full(like.shape, jnp.float32(x))
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Kernel body
+# ---------------------------------------------------------------------------
+
+
+def _substep_body(spec: SubstepSpec, refs):
+    (q_ref, v_ref, tau_ref, lam0_ref,
+     qn_ref, vn_ref, lam_ref, res_ref,
+     T_ref, L_ref, X_ref, A_ref) = refs
+    nb, nv, nq, ncp = spec.nb, spec.nv, spec.nq, spec.ncp
+    cfg = spec.cfg
+    dt = float(cfg.dt)
+    opts = spec.opts
+    JT = JointType
+
+    q = [q_ref[i, 0] for i in range(nq)]
+    v = [v_ref[i, 0] for i in range(nv)]
+    tau = [tau_ref[i, 0] for i in range(nv)]
+    zero = jnp.zeros_like(q[0])
+    one = jnp.ones_like(q[0])
+
+    def lane(x):
+        return _lane(x, zero)
+
+    # ---- local transforms X_λi = joint_placement ∘ X_J(q_i) -------------
+    xl = []  # list of (R, p)
+    for i in range(nb):
+        t = spec.joint_type[i]
+        off = spec.q_off[i]
+        if t == JT.FREE:
+            Rj = quat_to_m([q[off + 3], q[off + 4], q[off + 5], q[off + 6]])
+            pj = [q[off], q[off + 1], q[off + 2]]
+        elif t == JT.REVOLUTE:
+            # Rodrigues about constant axis (algos._axis_angle_matrix)
+            ax = [float(a) for a in spec.axis[i]]
+            c, s = jnp.cos(q[off]), jnp.sin(q[off])
+            K = m_hat(ax)
+            KK = m_mul(K, K)
+            Rj = [
+                [
+                    (1.0 if r == c2 else 0.0) + s * K[r][c2]
+                    + (1.0 - c) * KK[r][c2]
+                    for c2 in range(3)
+                ]
+                for r in range(3)
+            ]
+            pj = [zero, zero, zero]
+        elif t == JT.PRISMATIC:
+            ax = [float(a) for a in spec.axis[i]]
+            Rj = m_id()
+            pj = [lane(a) * q[off] if a else zero for a in ax]
+        else:
+            raise ValueError("substep kernel: unsupported joint type")
+        Rp = [[float(spec.jp_rot[i][r][c2]) for c2 in range(3)]
+              for r in range(3)]
+        pp = [float(spec.jp_pos[i][k]) for k in range(3)]
+        xl.append(x_compose(Rp, pp, Rj, pj))
+
+    # ---- forward kinematics + velocities (algos.kinematics) -------------
+    def joint_motion(i):
+        """S_i @ v_slice(i) as (w, v) lists."""
+        t = spec.joint_type[i]
+        vo = spec.v_off[i]
+        if t == JT.FREE:
+            return [v[vo + 3], v[vo + 4], v[vo + 5]], [v[vo], v[vo + 1],
+                                                       v[vo + 2]]
+        ax = [float(a) for a in spec.axis[i]]
+        if t == JT.REVOLUTE:
+            return [lane(a) * v[vo] if a else zero for a in ax], [zero] * 3
+        return [zero] * 3, [lane(a) * v[vo] if a else zero for a in ax]
+
+    xw = []  # world (R, p)
+    vel = []  # local spatial (w, v)
+    for i in range(nb):
+        p = spec.parent[i]
+        wj, vj = joint_motion(i)
+        if p < 0:
+            xw.append(xl[i])
+            vel.append((wj, vj))
+        else:
+            xw.append(x_compose(*xw[p], *xl[i]))
+            wp, vp = motion_p2c(*xl[i], *vel[p])
+            vel.append((v_add(wp, wj), v_add(vp, vj)))
+
+    # ---- RNEA bias: rnea(q, v, 0) (algos.rnea with a=0, no fext) --------
+    g = [float(-x) for x in spec.gravity]  # a0 linear part = −gravity
+    acc = []
+    fb = []  # body forces (ang, lin)
+    for i in range(nb):
+        p = spec.parent[i]
+        if p < 0:
+            aw, av = motion_p2c(*xl[i], [0.0, 0.0, 0.0], g)
+        else:
+            aw, av = motion_p2c(*xl[i], *acc[p])
+            cw, cv = motion_cross6(*vel[i], *joint_motion(i))
+            aw, av = v_add(aw, cw), v_add(av, cv)
+        acc.append(
+            ([_lane(x, zero) for x in aw], [_lane(x, zero) for x in av])
+        )
+        m_i = float(spec.mass[i])
+        h_i = [float(x) for x in spec.h[i]]
+        I_i = [[float(spec.inertia[i][r][c2]) for c2 in range(3)]
+               for r in range(3)]
+        fa, fl = inertia_mul_motion(m_i, h_i, I_i, *acc[i])
+        va, vl = inertia_mul_motion(m_i, h_i, I_i, *vel[i])
+        ca, cl = force_cross6(*vel[i], va, vl)
+        fb.append((v_add(fa, ca), v_add(fl, cl)))
+
+    bias = [None] * nv
+    for i in range(nb - 1, -1, -1):
+        t = spec.joint_type[i]
+        vo = spec.v_off[i]
+        ang, lin = fb[i]
+        if t == JT.FREE:
+            for k in range(3):
+                bias[vo + k] = lin[k]
+                bias[vo + 3 + k] = ang[k]
+        elif t == JT.REVOLUTE:
+            ax = [float(a) for a in spec.axis[i]]
+            bias[vo] = v_dot(ang, [lane(a) for a in ax])
+        else:  # prismatic
+            ax = [float(a) for a in spec.axis[i]]
+            bias[vo] = v_dot(lin, [lane(a) for a in ax])
+        p = spec.parent[i]
+        if p >= 0:
+            pa, pl = force_c2p(*xl[i], ang, lin)
+            fb[p] = (v_add(fb[p][0], pa), v_add(fb[p][1], pl))
+
+    # ---- CRBA mass matrix (algos.crba) + armature + implicit diag -------
+    Ic = [
+        (
+            float(spec.mass[i]),
+            [float(x) for x in spec.h[i]],
+            [[float(spec.inertia[i][r][c2]) for c2 in range(3)]
+             for r in range(3)],
+        )
+        for i in range(nb)
+    ]
+    M = [[None] * nv for _ in range(nv)]
+
+    def dof_cols(i):
+        """Motion-subspace columns of joint i as [(w, v), ...]."""
+        t = spec.joint_type[i]
+        if t == JT.FREE:
+            cols = []
+            for k in range(3):  # linear dofs
+                e = [1.0 if j == k else 0.0 for j in range(3)]
+                cols.append(([0.0, 0.0, 0.0], e))
+            for k in range(3):  # angular dofs
+                e = [1.0 if j == k else 0.0 for j in range(3)]
+                cols.append((e, [0.0, 0.0, 0.0]))
+            return cols
+        ax = [float(a) for a in spec.axis[i]]
+        if t == JT.REVOLUTE:
+            return [(ax, [0.0, 0.0, 0.0])]
+        return [([0.0, 0.0, 0.0], ax)]
+
+    for i in range(nb - 1, -1, -1):
+        p = spec.parent[i]
+        if p >= 0:
+            ti = inertia_transform(*Ic[i], *xl[i])
+            mp, hp, Ip = Ic[p]
+            Ic[p] = (
+                mp + ti[0] if isinstance(mp, float) or hasattr(mp, "shape")
+                else mp + ti[0],
+                v_add(hp, ti[1]),
+                m_add(Ip, ti[2]),
+            )
+        cols = dof_cols(i)
+        nvi = len(cols)
+        vo_i = spec.v_off[i]
+        F = [inertia_mul_motion(*Ic[i], *c) for c in cols]  # [(ang,lin)]
+        for a in range(nvi):
+            for b in range(nvi):
+                # M[ii] = SᵀF: row a of Sᵀ dotted with F[b]
+                w_a, v_a = cols[a]
+                val = v_dot([lane(x) for x in w_a], F[b][0]) + v_dot(
+                    [lane(x) for x in v_a], F[b][1]
+                )
+                M[vo_i + a][vo_i + b] = val
+        j = i
+        Fj = F
+        while spec.parent[j] >= 0:
+            Fj = [force_c2p(*xl[j], ang, lin) for ang, lin in Fj]
+            j = spec.parent[j]
+            cols_j = dof_cols(j)
+            vo_j = spec.v_off[j]
+            for a in range(nvi):
+                for b in range(len(cols_j)):
+                    w_b, v_b = cols_j[b]
+                    val = v_dot(Fj[a][0], [lane(x) for x in w_b]) + v_dot(
+                        Fj[a][1], [lane(x) for x in v_b]
+                    )
+                    M[vo_i + a][vo_j + b] = val
+                    M[vo_j + b][vo_i + a] = val
+
+    for r in range(nv):
+        extra = float(spec.armature[r]) + dt * float(spec.damping[r]) \
+            + dt * dt * float(spec.stiffness[r])
+        for c2 in range(nv):
+            if M[r][c2] is None:
+                M[r][c2] = zero
+        M[r][r] = M[r][r] + extra
+
+    # ---- contact geometry + Jacobian rows (flat ground) -----------------
+    # world contact points and per-point linear Jacobians (3, nv)
+    pts = []
+    Jp = []  # list of (3, nv) nested lists
+    for k in range(ncp):
+        b = spec.contact_body[k]
+        pl = [float(x) for x in spec.contact_pos[k]]
+        pw = v_add(m_vec(xw[b][0], pl), xw[b][1])
+        pts.append(pw)
+        Jk = [[zero] * nv for _ in range(3)]
+        j = b
+        while j >= 0:
+            R, o = xw[j]
+            r_vec = v_sub(pw, o)
+            for ci, (w_c, v_c) in enumerate(dof_cols(j)):
+                ww = m_vec(R, [lane(x) for x in w_c])
+                vv_ = m_vec(R, [lane(x) for x in v_c])
+                lin = v_add(vv_, v_cross(ww, r_vec))
+                col = spec.v_off[j] + ci
+                for r in range(3):
+                    Jk[r][col] = Jk[r][col] + lin[r]
+            j = spec.parent[j]
+        Jp.append(Jk)
+
+    # flat ground: n=(0,0,1) ⇒ tangent_basis gives t1=(0,−1,0), t2=(1,0,0)
+    depth = [lane(spec.ground_height) - pts[k][2] for k in range(ncp)]
+    alpha = min(
+        2.0 * np.pi * float(opts.contact_baumgarte_freq) * dt, 1.0
+    )
+    v_corr = [
+        jnp.clip(
+            (alpha / dt) * (depth[k] - float(opts.contact_slop)),
+            0.0,
+            float(opts.contact_max_correction_vel),
+        )
+        for k in range(ncp)
+    ]
+
+    # ---- stacked rows in engine order: bounds, then contacts color-major
+    rows_J: list[list] = []  # each row: list of nv lane values
+    target: list = []
+    active: list = []
+    alpha_b = min(
+        2.0 * np.pi * float(opts.bounds_baumgarte_freq) * dt, 1.0
+    )
+    for i in spec.bounded_joints:
+        qo, vo = spec.q_off[i], spec.v_off[i]
+        lo, hi = float(spec.q_min[qo]), float(spec.q_max[qo])
+        d_lo = q[qo] - lo
+        d_hi = hi - q[qo]
+        sgn = jnp.where(d_lo < d_hi, 1.0, -1.0)
+        dist = jnp.minimum(d_lo, d_hi)
+        row = [zero] * nv
+        row[vo] = sgn
+        rows_J.append(row)
+        target.append(
+            jnp.where(dist < 0, -alpha_b * dist, -dist) / dt
+        )
+        active.append(one)
+    for k in spec.color_order:
+        Jk = Jp[k]
+        # rows [t1; t2; n] = [−J_y; J_x; J_z]
+        rows_J.append([-x for x in Jk[1]])
+        rows_J.append(Jk[0])
+        rows_J.append(Jk[2])
+        target.extend([zero, zero, v_corr[k]])
+        a_k = jnp.where(depth[k] > 0.0, 1.0, 0.0)
+        active.extend([a_k, a_k, a_k])
+
+    nc = len(rows_J)
+    assert nc == cfg.nc, (nc, cfg.nc)
+    mu_row = [lane(0.0)] * len(spec.bounded_joints) + [
+        lane(spec.friction)
+    ] * (3 * ncp)
+
+    # ---- shared solve chain (lane-major stacked arrays) -----------------
+    tau_adj = [
+        tau[r] - dt * float(spec.stiffness[r]) * v[r] for r in range(nv)
+    ]
+    p_free = [tau_adj[r] - bias[r] for r in range(nv)]
+    T_ref[...] = jnp.stack([jnp.stack(row) for row in M])
+    pv = jnp.stack(p_free)
+    vv = jnp.stack(v)
+    Jt = jnp.stack(
+        [jnp.stack([rows_J[r][kcol] for r in range(nc)]) for kcol in
+         range(nv)]
+    )  # (nv, nc, S, 128)
+    tgt = jnp.stack(target)
+    mu = jnp.stack(mu_row)
+    act = jnp.stack(active)
+    lam0 = lam0_ref[:, 0]
+
+    v_next, lam_out, res = _solve_chain(
+        cfg, pv, vv, Jt, tgt, mu, act, lam0, T_ref, L_ref, X_ref, A_ref
+    )
+    vn = [v_next[r] for r in range(nv)]
+
+    # ---- integrate (algos.integrate, euler_symplectic) ------------------
+    q_next = list(q)
+    for i in range(nb):
+        t = spec.joint_type[i]
+        qo, vo = spec.q_off[i], spec.v_off[i]
+        if t == JT.FREE:
+            Rb = quat_to_m([q[qo + 3], q[qo + 4], q[qo + 5], q[qo + 6]])
+            dp = m_vec(Rb, [vn[vo] * dt, vn[vo + 1] * dt, vn[vo + 2] * dt])
+            for k in range(3):
+                q_next[qo + k] = q[qo + k] + dp[k]
+            # so3.quat_integrate: q ⊗ exp(ω dt / 2)
+            wx, wy, wz = vn[vo + 3] * dt, vn[vo + 4] * dt, vn[vo + 5] * dt
+            ang2 = wx * wx + wy * wy + wz * wz
+            ang = jnp.sqrt(ang2 + 1e-24)
+            half = 0.5 * ang
+            sin_h = jnp.sin(half)
+            cos_h = jnp.cos(half)
+            scale = sin_h / ang
+            ex, ey, ez, ew = wx * scale, wy * scale, wz * scale, cos_h
+            qx, qy, qz, qw = q[qo + 3], q[qo + 4], q[qo + 5], q[qo + 6]
+            # quaternion product q ⊗ e (xyzw)
+            nx = qw * ex + qx * ew + qy * ez - qz * ey
+            ny = qw * ey - qx * ez + qy * ew + qz * ex
+            nz = qw * ez + qx * ey - qy * ex + qz * ew
+            nw = qw * ew - qx * ex - qy * ey - qz * ez
+            norm = jax.lax.rsqrt(nx * nx + ny * ny + nz * nz + nw * nw)
+            q_next[qo + 3] = nx * norm
+            q_next[qo + 4] = ny * norm
+            q_next[qo + 5] = nz * norm
+            q_next[qo + 6] = nw * norm
+        else:
+            q_next[qo] = q[qo] + vn[vo] * dt
+
+    qn_ref[:, 0] = jnp.stack(q_next)
+    vn_ref[:, 0] = v_next
+    lam_ref[:, 0] = lam_out
+    res_ref[0, 0] = res
+
+
+# ---------------------------------------------------------------------------
+# Host wrapper
+# ---------------------------------------------------------------------------
+
+
+def substep_batched_pallas(spec: SubstepSpec, q, v, tau, lam0,
+                           interpret=None):
+    """Batched whole substep: q (B,nq), v/tau (B,nv), lam0 (B,nc) →
+    (q_next, v_next, λ, residual)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n, nc, nq = spec.nv, spec.cfg.nc, spec.nq
+    B = q.shape[0]
+    S = _pick_sublanes(n, nc)
+    tile = S * LANES
+    Bp = -(-B // tile) * tile
+    G = Bp // tile
+    pad = Bp - B
+    f32 = jnp.float32
+    if pad:
+        # pad with a neutral configuration high above the ground
+        qpad = jnp.tile(q[:1].astype(f32), (pad, 1))
+        q = jnp.concatenate([q.astype(f32), qpad], axis=0)
+        zn = jnp.zeros((pad, n), f32)
+        v = jnp.concatenate([v.astype(f32), zn], axis=0)
+        tau = jnp.concatenate([tau.astype(f32), zn], axis=0)
+        lam0 = jnp.concatenate(
+            [lam0.astype(f32), jnp.zeros((pad, nc), f32)], axis=0
+        )
+
+    qb = _to_lane_major(q.astype(f32), 0, G, S)
+    vb = _to_lane_major(v.astype(f32), 0, G, S)
+    tb = _to_lane_major(tau.astype(f32), 0, G, S)
+    lb = _to_lane_major(lam0.astype(f32), 0, G, S)
+
+    def mk_spec(*lead):
+        block = (*lead, 1, S, LANES)
+        zeros = (0,) * len(lead)
+        return pl.BlockSpec(
+            block,
+            lambda g, _z=zeros: (*_z, g, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    out_shape = (
+        jax.ShapeDtypeStruct((nq, G, S, LANES), f32),
+        jax.ShapeDtypeStruct((n, G, S, LANES), f32),
+        jax.ShapeDtypeStruct((nc, G, S, LANES), f32),
+        jax.ShapeDtypeStruct((1, G, S, LANES), f32),
+    )
+    qn, vn, lam, res = pl.pallas_call(
+        lambda *refs: _substep_body(spec, refs),
+        grid=(G,),
+        in_specs=[mk_spec(nq), mk_spec(n), mk_spec(n), mk_spec(nc)],
+        out_specs=(mk_spec(nq), mk_spec(n), mk_spec(nc), mk_spec(1)),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((n, n, S, LANES), f32),
+            pltpu.VMEM((n, n, S, LANES), f32),
+            pltpu.VMEM((n, nc + 1, S, LANES), f32),
+            pltpu.VMEM((nc, nc, S, LANES), f32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(qb, vb, tb, lb)
+
+    def back(x):
+        d = x.shape[0]
+        return x.reshape(d, Bp).T[:B]
+
+    return back(qn), back(vn), back(lam), back(res)[:, 0]

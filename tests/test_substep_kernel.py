@@ -1,0 +1,110 @@
+"""Whole-substep Pallas kernel vs the engine's per-op XLA path.
+
+The kernel mirrors kinematics/CRBA/RNEA/assembly/solve/integrate
+(core/algos.py + engine/engine.py) in lane-major form; interpret mode on
+the CPU CI mesh must match the XLA engine to f32 reassociation."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jiminy_tpu.engine.engine import Engine, EngineOptions
+
+
+def _engines(tree, motors=None, **opt_kw):
+    out = {}
+    for backend in ("xla", "pallas_substep"):
+        out[backend] = Engine(
+            tree,
+            EngineOptions(
+                contact_model="constraint",
+                constraint_solver=backend,
+                compute_solver_residual=True,
+                **opt_kw,
+            ),
+            motors=motors,
+        )
+    return out
+
+
+def _compare(tree, engines, q0, u, n_substeps, atol_q, atol_v, B=4):
+    outs = {}
+    key = jax.random.PRNGKey(0)
+    dq = 0.02 * jax.random.normal(key, (B, tree.nq))
+    # keep quaternions valid: perturb only non-quaternion dofs crudely by
+    # renormalizing any free-joint quaternion afterwards
+    qb = jnp.tile(q0, (B, 1)) + dq
+    for i in range(tree.nb):
+        from jiminy_tpu.core.tree import JointType
+
+        if tree.joint_type[i] == JointType.FREE:
+            qo = tree.q_off[i]
+            quat = qb[:, qo + 3 : qo + 7]
+            quat = quat / jnp.linalg.norm(quat, axis=1, keepdims=True)
+            qb = qb.at[:, qo + 3 : qo + 7].set(quat)
+    ub = jnp.tile(u, (B, 1))
+    for backend, eng in engines.items():
+        states = jax.vmap(lambda q: eng.reset(q=q))(qb)
+        step = jax.jit(
+            jax.vmap(lambda s, uu: eng.step(s, uu, n_substeps=n_substeps))
+        )
+        outs[backend] = step(states, ub)
+    a, b = outs["xla"], outs["pallas_substep"]
+    np.testing.assert_allclose(b.q, a.q, atol=atol_q, rtol=1e-3)
+    np.testing.assert_allclose(b.v, a.v, atol=atol_v, rtol=1e-2)
+    return outs
+
+
+class TestSubstepKernel:
+    def test_free_box_matches_xla(self):
+        """Free joint only: kinematics, contacts, integrate — no bounds."""
+        from tests.test_constraints import make_free_box
+
+        tree = make_free_box(mass=1.2, half_extents=(0.1, 0.08, 0.06))
+        q0 = tree.neutral_q().at[2].set(0.12)
+        engines = _engines(tree, dt=1e-3, pgs_iters=8)
+        _compare(
+            tree, engines, q0, jnp.zeros(tree.nv), n_substeps=5,
+            atol_q=5e-5, atol_v=5e-3,
+        )
+
+    def test_anymal_matches_xla(self):
+        """Full quadruped: revolute chains, bounds rows, 4 contacts."""
+        from jiminy_tpu.models.quadruped import make_anymal, stand_q
+
+        robot = make_anymal()
+        tree = robot.tree
+        q0 = jnp.asarray(stand_q(tree))
+        engines = _engines(tree, motors=robot.motors, dt=5e-3, pgs_iters=8)
+        _compare(
+            tree, engines, q0, jnp.zeros(robot.nmotors), n_substeps=2,
+            atol_q=2e-4, atol_v=2e-2,
+        )
+
+    def test_gating_rejects_unsupported(self):
+        """Configs outside the kernel's scope fail loudly at build."""
+        import pytest
+
+        from jiminy_tpu.engine.terrain import stairs_ground
+        from tests.test_constraints import make_free_box
+
+        tree = make_free_box()
+        with pytest.raises(ValueError, match="FlatGround"):
+            Engine(
+                tree,
+                EngineOptions(
+                    contact_model="constraint",
+                    constraint_solver="pallas_substep",
+                ),
+                ground=stairs_ground(step_width=0.3, step_height=0.1),
+            )
+        with pytest.raises(ValueError, match="contact_model"):
+            Engine(
+                tree,
+                EngineOptions(
+                    contact_model="spring_damper",
+                    constraint_solver="pallas_substep",
+                ),
+            )
