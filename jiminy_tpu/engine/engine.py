@@ -173,8 +173,21 @@ class Engine:
             )
         self._substep_fn = None
         if self._solver_backend == "pallas_substep":
+            # explicit request: unsupported configs fail loudly
             self._substep_fn = self._build_substep_kernel()
             self._solver_backend = "pallas"  # fallback for gated calls
+        elif (
+            self.options.constraint_solver == "auto"
+            and self._solver_backend == "pallas"
+            and self._use_impulse
+        ):
+            # auto on TPU: whole-substep kernel when the config is in
+            # scope (flat ground, euler, no loops/flex), else the
+            # chain kernel — both validated against the XLA path
+            try:
+                self._substep_fn = self._build_substep_kernel()
+            except ValueError:
+                pass
 
     def _build_substep_kernel(self):
         """Whole-substep Pallas kernel (ops/substep_kernel.py): validates
