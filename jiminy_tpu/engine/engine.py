@@ -180,10 +180,16 @@ class Engine:
             self.options.constraint_solver == "auto"
             and self._solver_backend == "pallas"
             and self._use_impulse
+            # closed-loop robots stay on the chain kernel by default:
+            # hard equality rows are the most reassociation-sensitive
+            # path (a Cassie policy trained on XLA evaluated at 3.1%
+            # falls on the substep kernel vs 0.8% on the chain kernel);
+            # opt in explicitly with "pallas_substep" — ~3× rollout
+            and not self.constraints
         ):
             # auto on TPU: whole-substep kernel when the config is in
-            # scope (flat ground, euler, no loops/flex), else the
-            # chain kernel — both validated against the XLA path
+            # scope (flat ground, euler, no flex), else the chain
+            # kernel — both validated against the XLA path
             try:
                 self._substep_fn = self._build_substep_kernel()
             except ValueError:
@@ -200,6 +206,8 @@ class Engine:
             substep_batched_pallas,
         )
 
+        from jiminy_tpu.engine.constraints import DistanceConstraint
+
         opts, tree = self.options, self.tree
         bad = []
         if opts.solver not in ("euler_symplectic", "euler_explicit"):
@@ -208,8 +216,14 @@ class Engine:
             bad.append("contact_model must be 'constraint'")
         if not isinstance(self.ground, FlatGround):
             bad.append("ground must be FlatGround")
-        if self.forces or self.constraints:
-            bad.append("registered forces/constraints unsupported")
+        if self.forces:
+            bad.append("registered forces unsupported")
+        if any(
+            not isinstance(c, DistanceConstraint) for c in self.constraints
+        ):
+            bad.append(
+                "only DistanceConstraints supported (Cassie pushrods)"
+            )
         if any(
             tree.joint_type[i]
             not in (JointType.FREE, JointType.REVOLUTE, JointType.PRISMATIC)
@@ -227,7 +241,8 @@ class Engine:
         ncp = tree.ncp
         color_order = list(range(0, ncp, 2)) + list(range(1, ncp, 2))
         n0 = len(range(0, ncp, 2))
-        off = len(bj)
+        n_eq = sum(c.size for c in self.constraints)
+        off = n_eq + len(bj)
         colors = (
             ((off, n0), (off + 3 * n0, ncp - n0)) if ncp else ()
         )
@@ -235,8 +250,10 @@ class Engine:
             n=tree.nv,
             nc=off + 3 * ncp,
             dt=float(opts.dt),
-            eq_blocks=(),
-            bounds_span=(0, off) if off else None,
+            eq_blocks=tuple(
+                BlockSpec("equality", i, 1) for i in range(n_eq)
+            ),
+            bounds_span=(n_eq, len(bj)) if bj else None,
             contact_colors=colors,
             iters=opts.pgs_iters,
             relax=opts.pgs_relax,
@@ -246,6 +263,7 @@ class Engine:
         spec = SubstepSpec(
             tree, opts, cfg, bj, color_order,
             float(self.ground.height), float(opts.contacts.friction),
+            dist_constraints=self.constraints,
         )
         self._substep_color_order = color_order
         self._substep_contact_off = off

@@ -186,7 +186,7 @@ class SubstepSpec:
 
     def __init__(self, tree: KinematicTree, opts, solve_cfg: SolveConfig,
                  bounded_joints, color_order, ground_height: float,
-                 friction: float):
+                 friction: float, dist_constraints=()):
         f = lambda a: np.asarray(a, np.float64)
         self.nb = tree.nb
         self.nq, self.nv = tree.nq, tree.nv
@@ -215,6 +215,19 @@ class SubstepSpec:
         self.color_order = list(color_order)
         self.ground_height = float(ground_height)
         self.friction = float(friction)
+        # DistanceConstraints (Cassie pushrods): tuples of
+        # (body1, p1_local, body2, p2_local, distance, baumgarte_freq)
+        self.dist_constraints = [
+            (
+                int(tree.frame_body[c.frame1]),
+                [float(x) for x in np.asarray(tree.fp_pos[c.frame1])],
+                int(tree.frame_body[c.frame2]),
+                [float(x) for x in np.asarray(tree.fp_pos[c.frame2])],
+                float(c.distance),
+                float(c.baumgarte_freq),
+            )
+            for c in dist_constraints
+        ]
 
 
 def _lane(x, like):
@@ -428,15 +441,9 @@ def _substep_body(spec: SubstepSpec, refs):
                 M[r][c2] = zero
         M[r][r] = M[r][r] + extra
 
-    # ---- contact geometry + Jacobian rows (flat ground) -----------------
-    # world contact points and per-point linear Jacobians (3, nv)
-    pts = []
-    Jp = []  # list of (3, nv) nested lists
-    for k in range(ncp):
-        b = spec.contact_body[k]
-        pl = [float(x) for x in spec.contact_pos[k]]
-        pw = v_add(m_vec(xw[b][0], pl), xw[b][1])
-        pts.append(pw)
+    # ---- point Jacobians (algos.point_jacobian, lane-major) -------------
+    def point_jac(b, pw):
+        """World linear-velocity Jacobian (3, nv) of point pw on body b."""
         Jk = [[zero] * nv for _ in range(3)]
         j = b
         while j >= 0:
@@ -450,7 +457,17 @@ def _substep_body(spec: SubstepSpec, refs):
                 for r in range(3):
                     Jk[r][col] = Jk[r][col] + lin[r]
             j = spec.parent[j]
-        Jp.append(Jk)
+        return Jk
+
+    # ---- contact geometry + Jacobian rows (flat ground) -----------------
+    pts = []
+    Jp = []  # list of (3, nv) nested lists
+    for k in range(ncp):
+        b = spec.contact_body[k]
+        pl = [float(x) for x in spec.contact_pos[k]]
+        pw = v_add(m_vec(xw[b][0], pl), xw[b][1])
+        pts.append(pw)
+        Jp.append(point_jac(b, pw))
 
     # flat ground: n=(0,0,1) ⇒ tangent_basis gives t1=(0,−1,0), t2=(1,0,0)
     depth = [lane(spec.ground_height) - pts[k][2] for k in range(ncp)]
@@ -466,10 +483,27 @@ def _substep_body(spec: SubstepSpec, refs):
         for k in range(ncp)
     ]
 
-    # ---- stacked rows in engine order: bounds, then contacts color-major
+    # ---- stacked rows in engine order: equality constraints, then
+    # bounds, then contacts color-major (mirrors cstr.assemble + engine)
     rows_J: list[list] = []  # each row: list of nv lane values
     target: list = []
     active: list = []
+    for b1, p1l, b2, p2l, dist0, freq in spec.dist_constraints:
+        p1 = v_add(m_vec(xw[b1][0], p1l), xw[b1][1])
+        p2 = v_add(m_vec(xw[b2][0], p2l), xw[b2][1])
+        d_vec = v_sub(p1, p2)
+        d = jnp.sqrt(v_dot(d_vec, d_vec) + 1e-24)
+        u_vec = [d_vec[r] / jnp.maximum(d, 1e-9) for r in range(3)]
+        J1, J2 = point_jac(b1, p1), point_jac(b2, p2)
+        rows_J.append(
+            [
+                sum(u_vec[r] * (J1[r][c2] - J2[r][c2]) for r in range(3))
+                for c2 in range(nv)
+            ]
+        )
+        a_c = min(2.0 * np.pi * freq * dt, 1.0)
+        target.append(-(a_c / dt) * (d - dist0))
+        active.append(one)
     alpha_b = min(
         2.0 * np.pi * float(opts.bounds_baumgarte_freq) * dt, 1.0
     )
@@ -499,9 +533,11 @@ def _substep_body(spec: SubstepSpec, refs):
 
     nc = len(rows_J)
     assert nc == cfg.nc, (nc, cfg.nc)
-    mu_row = [lane(0.0)] * len(spec.bounded_joints) + [
-        lane(spec.friction)
-    ] * (3 * ncp)
+    mu_row = (
+        [lane(0.0)] * (len(spec.dist_constraints)
+                       + len(spec.bounded_joints))
+        + [lane(spec.friction)] * (3 * ncp)
+    )
 
     # ---- shared solve chain (lane-major stacked arrays) -----------------
     tau_adj = [

@@ -7,6 +7,7 @@ the CPU CI mesh must match the XLA engine to f32 reassociation."""
 from __future__ import annotations
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -108,3 +109,30 @@ class TestSubstepKernel:
                     constraint_solver="pallas_substep",
                 ),
             )
+
+    @pytest.mark.slow
+    def test_cassie_closed_loops_match_xla(self):
+        """DistanceConstraint equality rows (Cassie pushrods) in-kernel."""
+        from jiminy_tpu.models.biped import make_cassie
+
+        robot, constraints, stand = make_cassie()
+        tree = robot.tree
+        engines = {}
+        for backend in ("xla", "pallas_substep"):
+            engines[backend] = Engine(
+                tree,
+                EngineOptions(
+                    dt=2e-3,
+                    contact_model="constraint",
+                    constraint_solver=backend,
+                    compute_solver_residual=True,
+                    pgs_iters=8,
+                ),
+                motors=robot.motors,
+                constraints=constraints,
+            )
+        _compare(
+            tree, engines, jnp.asarray(stand),
+            jnp.zeros(robot.nmotors), n_substeps=2,
+            atol_q=2e-4, atol_v=3e-2,
+        )
