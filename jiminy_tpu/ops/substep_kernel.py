@@ -399,12 +399,7 @@ def _substep_body(spec: SubstepSpec, refs):
         if p >= 0:
             ti = inertia_transform(*Ic[i], *xl[i])
             mp, hp, Ip = Ic[p]
-            Ic[p] = (
-                mp + ti[0] if isinstance(mp, float) or hasattr(mp, "shape")
-                else mp + ti[0],
-                v_add(hp, ti[1]),
-                m_add(Ip, ti[2]),
-            )
+            Ic[p] = (mp + ti[0], v_add(hp, ti[1]), m_add(Ip, ti[2]))
         cols = dof_cols(i)
         nvi = len(cols)
         vo_i = spec.v_off[i]
