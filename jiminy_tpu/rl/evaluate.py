@@ -61,9 +61,18 @@ def evaluate(
     out = {
         "return_mean": float(jnp.mean(ret)),
         "length_mean": float(jnp.mean(length.astype(jnp.float32))),
-        "fall_fraction": float(jnp.mean(fell.astype(jnp.float32))),
-        "alive_at_end": float(jnp.mean(alive.astype(jnp.float32))),
+        "terminated_fraction": float(jnp.mean(fell.astype(jnp.float32))),
     }
+    # per-task schema: termination means failure for walkers but success
+    # for goal tasks (acrobot swing-up) — name the stats accordingly
+    # (VERDICT r1 weak #8: a 100% swing-up success read as fall_fraction=1)
+    if getattr(env, "termination_meaning", "failure") == "success":
+        out["success_fraction"] = out["terminated_fraction"]
+        done_steps = jnp.where(fell, length.astype(jnp.float32), jnp.nan)
+        out["success_steps_mean"] = float(jnp.nanmean(done_steps))
+    else:
+        out["fall_fraction"] = out["terminated_fraction"]
+        out["alive_at_end"] = float(jnp.mean(alive.astype(jnp.float32)))
     if x0 is not None:
         out["forward_displacement_mean"] = float(
             jnp.mean(states.sim.q[:, 0] - x0)

@@ -119,9 +119,11 @@ class Simulator:
             }
             if suite is not None:
                 key, k = jax.random.split(key)
-                zeros = jnp.zeros(tree.nv)
+                # accepted-substep acceleration and actuation torque from
+                # the engine: IMU accelerometers measure the true proper
+                # acceleration, effort sensors the applied torque
                 bufs = suite.update(
-                    bufs, k, st.q, st.v, zeros, st.contact_forces, zeros
+                    bufs, k, st.q, st.v, st.a, st.contact_forces, st.tau
                 )
                 for typ, m in suite.read(bufs).items():
                     rec[f"sensor_{typ}"] = m
