@@ -19,12 +19,16 @@ import jax
 import numpy as np
 
 
-def make_env(name: str, max_steps: int, terrain=None, push=0.0):
+def make_env(name: str, max_steps: int, terrain=None, push=0.0,
+             observe="state", sensor_delay=0.0, imu_noise=0.0,
+             encoder_noise=0.0):
     import jiminy_tpu.envs as E
 
     if name == "anymal":
         return E.ANYmalEnv(
-            max_steps=max_steps, terrain=terrain, push_magnitude=push
+            max_steps=max_steps, terrain=terrain, push_magnitude=push,
+            observe=observe, sensor_delay=sensor_delay,
+            imu_noise=imu_noise, encoder_noise=encoder_noise,
         )
     if name == "cassie":
         return E.CassieEnv(sim_dt=2e-3, max_steps=max_steps, target_speed=0.4)
@@ -55,6 +59,13 @@ def main():
     )
     ap.add_argument("--push", type=float, default=0.0,
                     help="random push impulse magnitude (N·s), anymal only")
+    ap.add_argument("--observe", default="state",
+                    choices=["state", "sensors"],
+                    help="observation source: privileged state or the "
+                    "delayed/biased/noisy sensor suite (anymal only)")
+    ap.add_argument("--sensor-delay", type=float, default=0.0)
+    ap.add_argument("--imu-noise", type=float, default=0.0)
+    ap.add_argument("--encoder-noise", type=float, default=0.0)
     args = ap.parse_args()
     out = pathlib.Path(args.out or f"/tmp/{args.env}_run")
     out.mkdir(parents=True, exist_ok=True)
@@ -63,7 +74,15 @@ def main():
     from jiminy_tpu.rl import MetricsLogger, PPOConfig
     from jiminy_tpu.rl.ppo import make_train_fn
 
-    env = make_env(args.env, args.max_steps, args.terrain, args.push)
+    # env/tree construction is eager numpy/jnp work: keep it off the TPU
+    # backend (each eager op is an axon tunnel round trip, ~400 s total)
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        env = make_env(
+            args.env, args.max_steps, args.terrain, args.push,
+            args.observe, args.sensor_delay, args.imu_noise,
+            args.encoder_noise,
+        )
     cfg = PPOConfig(
         num_envs=args.num_envs,
         rollout_len=32,

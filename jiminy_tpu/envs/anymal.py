@@ -42,9 +42,18 @@ class ANYmalEnv(WalkerEnv):
         terrain: str | None = None,  # None/"flat" | "perlin" | "stairs"
         terrain_seed: int = 0,
         push_magnitude: float = 0.0,
+        observe: str = "state",  # "state" | "sensors" (IMU + encoders)
+        sensor_delay: float = 0.0,
+        imu_noise: float = 0.0,
+        encoder_noise: float = 0.0,
         **kwargs,
     ):
-        robot = make_anymal()
+        robot = make_anymal(
+            sensor_period=sim_dt,
+            sensor_delay=sensor_delay,
+            imu_noise=imu_noise,
+            encoder_noise=encoder_noise,
+        )
         ground = None
         spawn_radius = 0.0
         if terrain == "perlin":
@@ -77,6 +86,7 @@ class ANYmalEnv(WalkerEnv):
             ground=ground,
             spawn_radius=spawn_radius,
             push_magnitude=push_magnitude,
+            observe=observe,
             **kwargs,
         )
 

@@ -60,6 +60,7 @@ class WalkerEnv(BaseEnv):
         max_tilt_cos: float = 0.6,
         engine_options: EngineOptions | None = None,
         constraints: tuple = (),
+        observe: str = "state",  # "state" (privileged) | "sensors"
     ):
         self.robot = robot
         self.kp, self.kd = kp, kd
@@ -99,7 +100,33 @@ class WalkerEnv(BaseEnv):
             controller=pd_controller,
             constraints=constraints,
         )
-        super().__init__(engine, step_dt=step_dt, max_steps=max_steps)
+        # sensor-driven observation path: the policy sees delayed/biased/
+        # noisy IMU + encoder MEASUREMENTS, never privileged sim state
+        # (reference behavior, SURVEY.md §3.2 refresh_observation; VERDICT
+        # r1 missing #1). Rewards/terminations stay privileged (train-time
+        # only).
+        suite = None
+        if observe == "sensors":
+            suite = robot.sensors
+            if suite is None:
+                raise ValueError(
+                    "observe='sensors' requires the robot to carry a "
+                    "sensor suite (build with make_*(sensor_period=...))"
+                )
+            import numpy as np
+
+            enc = next(g for g in suite.groups if g.type == "encoder")
+            # static encoder→motor permutation (match on q index)
+            enc_q = [robot.tree.q_off[j] for j in enc.target]
+            self._enc_perm = [
+                enc_q.index(qi) for qi in robot.motors.q_idx
+            ]
+        elif observe != "state":
+            raise ValueError(f"unknown observe mode {observe!r}")
+        self.observe_mode = observe
+        super().__init__(
+            engine, step_dt=step_dt, max_steps=max_steps, sensors=suite
+        )
 
     # ---- spawn / reset -----------------------------------------------------
     def _sample_state(self, key):
@@ -171,6 +198,24 @@ class WalkerEnv(BaseEnv):
         qm, vm = self.robot.motors.joint_state(sim.q, sim.v)
         return jnp.concatenate(
             [grav_b, w_b, v_b, qm - self._stand_targets, 0.1 * vm]
+        )
+
+    def _observe_from_sensors(self, readings: dict, sim: SimState, rng):
+        """Measurement observation, same layout/mirror structure as the
+        privileged one: gravity dir from the IMU quat (3), gyro (3),
+        scaled accelerometer (3) in place of base lin vel, encoder motor
+        positions rel. stand (nm), scaled encoder velocities (nm)."""
+        imu = readings["imu"][0]
+        R = so3.quat_to_matrix(imu[:4])
+        grav_b = R.T @ jnp.array([0.0, 0.0, -1.0])
+        gyro = imu[4:7]
+        accel = imu[7:10]
+        enc = readings["encoder"]
+        # static reorder encoder→motor (no gather: TPU-safe)
+        enc = jnp.stack([enc[i] for i in self._enc_perm])
+        qm, vm = enc[:, 0], enc[:, 1]
+        return jnp.concatenate(
+            [grav_b, gyro, 0.05 * accel, qm - self._stand_targets, 0.1 * vm]
         )
 
     def _action_to_command(self, action, sim):
