@@ -55,7 +55,8 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--ent-coef", type=float, default=0.005)
     ap.add_argument(
-        "--terrain", default=None, choices=[None, "flat", "perlin", "stairs"]
+        "--terrain", default=None,
+        choices=[None, "flat", "perlin", "stairs", "fourier"]
     )
     ap.add_argument("--push", type=float, default=0.0,
                     help="random push impulse magnitude (N·s), anymal only")

@@ -1,7 +1,12 @@
 """Simulation engine: steppers, contact models, constraints, PGS solver."""
 
 from jiminy_tpu.engine.engine import Engine, EngineOptions, SimState
-from jiminy_tpu.engine.ground import FlatGround, HeightmapGround
+from jiminy_tpu.engine.ground import (
+    FlatGround,
+    FourierGround,
+    HeightmapGround,
+    sample_fourier_ground,
+)
 from jiminy_tpu.engine.contact import ContactParams
 
 __all__ = [
@@ -9,6 +14,8 @@ __all__ = [
     "EngineOptions",
     "SimState",
     "FlatGround",
+    "FourierGround",
+    "sample_fourier_ground",
     "HeightmapGround",
     "ContactParams",
 ]

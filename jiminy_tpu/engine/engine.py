@@ -187,6 +187,7 @@ class Engine:
                 "stepper (velocity-level impulses)"
             )
         self._substep_fn = None
+        self._substep_fourier = False
         if self._solver_backend == "pallas_substep":
             # explicit request: unsupported configs fail loudly
             self._substep_fn = self._build_substep_kernel()
@@ -214,7 +215,7 @@ class Engine:
         """Whole-substep Pallas kernel (ops/substep_kernel.py): validates
         the engine config is inside the kernel's scope and returns a
         custom_vmap'd (q, v, tau, lam0) → (q⁺, v⁺, λ, residual)."""
-        from jiminy_tpu.engine.ground import FlatGround
+        from jiminy_tpu.engine.ground import FlatGround, FourierGround
         from jiminy_tpu.ops.constraint_solve import SolveConfig
         from jiminy_tpu.ops.substep_kernel import (
             SubstepSpec,
@@ -229,8 +230,8 @@ class Engine:
             bad.append("stepper must be euler_symplectic")
         if opts.contact_model != "constraint":
             bad.append("contact_model must be 'constraint'")
-        if not isinstance(self.ground, FlatGround):
-            bad.append("ground must be FlatGround")
+        if not isinstance(self.ground, (FlatGround, FourierGround)):
+            bad.append("ground must be FlatGround or FourierGround")
         if self.forces:
             bad.append("registered forces unsupported")
         if any(
@@ -275,31 +276,74 @@ class Engine:
             reg=opts.pgs_reg,
             compute_residual=opts.compute_solver_residual,
         )
+        fourier = isinstance(self.ground, FourierGround)
         spec = SubstepSpec(
             tree, opts, cfg, bj, color_order,
-            float(self.ground.height), float(opts.contacts.friction),
+            0.0 if fourier else float(self.ground.height),
+            float(opts.contacts.friction),
             dist_constraints=self.constraints,
+            ground_mode="fourier" if fourier else "flat",
+            n_fourier=self.ground.n_terms if fourier else 0,
         )
-        self._substep_color_order = color_order
-        self._substep_contact_off = off
+        self._substep_fourier = fourier
 
-        @jax.custom_batching.custom_vmap
-        def substep(q, v, tau, lam0):
-            out = substep_batched_pallas(
-                spec, q[None], v[None], tau[None], lam0[None]
-            )
-            return tuple(o[0] for o in out)
+        if fourier:
+            # per-env terrain: the ground's coefficient vector is a traced
+            # argument (vmapped callers pass per-env coefficients —
+            # reference: random ground per reset, SURVEY.md §2.4)
+            @jax.custom_batching.custom_vmap
+            def substep(q, v, tau, lam0, gc):
+                out = substep_batched_pallas(
+                    spec, q[None], v[None], tau[None], lam0[None], gc[None]
+                )
+                return tuple(o[0] for o in out)
 
-        @substep.def_vmap
-        def _rule(axis_size, in_batched, q, v, tau, lam0):
-            args = [q, v, tau, lam0]
-            for i, (a, b) in enumerate(zip(args, in_batched)):
-                if not b:
-                    args[i] = jnp.broadcast_to(a[None], (axis_size, *a.shape))
-            out = substep_batched_pallas(spec, *args)
-            return out, (True, True, True, True)
+            @substep.def_vmap
+            def _rule(axis_size, in_batched, q, v, tau, lam0, gc):
+                args = [q, v, tau, lam0, gc]
+                for i, (a, b) in enumerate(zip(args, in_batched)):
+                    if not b:
+                        args[i] = jnp.broadcast_to(
+                            a[None], (axis_size, *a.shape)
+                        )
+                out = substep_batched_pallas(spec, *args)
+                return out, (True,) * 5
+        else:
+            @jax.custom_batching.custom_vmap
+            def substep(q, v, tau, lam0):
+                out = substep_batched_pallas(
+                    spec, q[None], v[None], tau[None], lam0[None]
+                )
+                return tuple(o[0] for o in out)
+
+            @substep.def_vmap
+            def _rule(axis_size, in_batched, q, v, tau, lam0):
+                args = [q, v, tau, lam0]
+                for i, (a, b) in enumerate(zip(args, in_batched)):
+                    if not b:
+                        args[i] = jnp.broadcast_to(
+                            a[None], (axis_size, *a.shape)
+                        )
+                out = substep_batched_pallas(spec, *args)
+                return out, (True,) * 5
 
         return substep
+
+    def _kernel_ground_ok(self, ground) -> bool:
+        """Is ``ground`` servable by the built substep kernel? Flat
+        grounds must be THE engine's ground (height is baked into the
+        spec); Fourier grounds only need a matching term count — the
+        coefficients are a traced kernel input, so per-env randomized
+        terrains (vmapped pytree leaves) stay on the fast path."""
+        from jiminy_tpu.engine.ground import FourierGround
+
+        if self._substep_fourier:
+            return (
+                isinstance(ground, FourierGround)
+                and ground.amp.ndim == 1
+                and ground.n_terms == self.ground.n_terms
+            )
+        return ground is self.ground
 
     @property
     def n_constraint_rows(self) -> int:
@@ -494,7 +538,7 @@ class Engine:
             self._substep_fn is not None
             and fext_user is None
             and contact_params is None
-            and ground is self.ground
+            and self._kernel_ground_ok(ground)
         ):
             tau = self._joint_torque(u, q, v, t)
             lam_w = (
@@ -502,29 +546,14 @@ class Engine:
                 if lam0 is not None
                 else jnp.zeros(self.n_constraint_rows, dtype=q.dtype)
             )
-            q2, v2, lam, res = self._substep_fn(q, v, tau, lam_w)
-            off = self._substep_contact_off
-            if tree.ncp:
-                lam_perm = lam[off:].reshape(tree.ncp, 3)
-                inv = [0] * tree.ncp
-                for j, k_orig in enumerate(self._substep_color_order):
-                    inv[k_orig] = j
-                lam_c = jnp.stack([lam_perm[inv[k]] for k in range(tree.ncp)])
-                # flat ground: t1=(0,−1,0), t2=(1,0,0), n=(0,0,1)
-                f_contact = (
-                    jnp.stack(
-                        [
-                            lam_c[:, 1],
-                            -lam_c[:, 0],
-                            lam_c[:, 2],
-                        ],
-                        axis=1,
-                    )
-                    / dt
+            if self._substep_fourier:
+                gc = jnp.concatenate(
+                    [ground.amp, ground.kx, ground.ky, ground.phase]
                 )
+                q2, v2, lam, res, fc = self._substep_fn(q, v, tau, lam_w, gc)
             else:
-                f_contact = jnp.zeros((0, 3), dtype=q.dtype)
-            return q2, v2, f_contact, res, lam, (v2 - v) / dt, tau
+                q2, v2, lam, res, fc = self._substep_fn(q, v, tau, lam_w)
+            return q2, v2, fc / dt, res, lam, (v2 - v) / dt, tau
 
         # per-env contact-parameter override (domain randomization: the
         # params are pytree leaves, so a vmapped caller can pass batched

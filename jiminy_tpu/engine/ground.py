@@ -29,6 +29,88 @@ class FlatGround(struct.PyTreeNode):
         return h, n
 
 
+class FourierGround(struct.PyTreeNode):
+    """Terrain as a random Fourier series — h(x, y) = Σₖ ampₖ ·
+    sin(kxₖ·x + kyₖ·y + phaseₖ).
+
+    TPU-first alternative to a grid heightmap for the HOT path: height
+    and the analytic normal are pure vector math (K fused sin/cos terms,
+    no gather), so the query runs *inside* the whole-substep Pallas
+    kernel — grid interpolation needs dynamic gathers, which Mosaic
+    lowers poorly and the current TPU backend miscompiles (see
+    engine/solver.py). Sampling the wave vectors from a band spectrum
+    (random Fourier features) reproduces Perlin-class rough ground
+    (reference: random ground profiles, SURVEY.md §2.1
+    "Random / terrain", §2.4 random ground per reset).
+
+    Coefficients are pytree leaves: a vmapped caller passes (B, K)
+    arrays for PER-ENV terrain domain randomization (each env resamples
+    its own ground at reset)."""
+
+    amp: jax.Array  # (K,)
+    kx: jax.Array  # (K,)
+    ky: jax.Array  # (K,)
+    phase: jax.Array  # (K,)
+
+    @property
+    def n_terms(self) -> int:
+        return self.amp.shape[-1]
+
+    def query(self, xy: jax.Array) -> tuple[jax.Array, jax.Array]:
+        arg = (
+            xy[..., 0:1] * self.kx
+            + xy[..., 1:2] * self.ky
+            + self.phase
+        )  # (..., K)
+        s, c = jnp.sin(arg), jnp.cos(arg)
+        h = jnp.sum(self.amp * s, axis=-1)
+        dzdx = jnp.sum(self.amp * self.kx * c, axis=-1)
+        dzdy = jnp.sum(self.amp * self.ky * c, axis=-1)
+        n = jnp.stack([-dzdx, -dzdy, jnp.ones_like(h)], axis=-1)
+        n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+        return h, n
+
+
+def sample_fourier_ground(
+    key: jax.Array,
+    n_terms: int = 16,
+    amplitude: float = 0.12,
+    wavelength: float = 2.0,
+    octaves: int = 3,
+    flat_radius: float = 0.0,
+) -> FourierGround:
+    """Sample a rough ground from a fractal band spectrum (jittable —
+    call it inside ``reset`` for per-env terrain).
+
+    Wave vectors draw uniformly in direction; magnitudes concentrate in
+    ``octaves`` bands at 2π/wavelength · 2ᵒ (the Perlin octave ladder),
+    with amplitudes halving per octave — same spectral envelope as
+    ``terrain.perlin_ground``. Process std ≈ ``amplitude``/√2.
+    ``flat_radius`` does NOT apply here (pure stationary process);
+    envs level the spawn instead by querying h at the spawn point."""
+    import numpy as np
+
+    k_dir, k_mag, k_ph = jax.random.split(key, 3)
+    K = n_terms
+    theta = jax.random.uniform(k_dir, (K,), minval=0.0, maxval=2.0 * jnp.pi)
+    octave = np.arange(K) % octaves  # static octave assignment
+    k0 = 2.0 * np.pi / wavelength
+    mag = jnp.asarray(k0 * 2.0**octave, jnp.float32) * jax.random.uniform(
+        k_mag, (K,), minval=0.75, maxval=1.25
+    )
+    per_oct = np.bincount(octave, minlength=octaves)
+    amp_np = 0.5**octave / np.sqrt(per_oct[octave])
+    amp_np *= amplitude / np.sqrt(np.sum((0.5 ** np.arange(octaves)) ** 2))
+    amp = jnp.asarray(amp_np, jnp.float32)
+    phase = jax.random.uniform(k_ph, (K,), minval=0.0, maxval=2.0 * jnp.pi)
+    return FourierGround(
+        amp=amp.astype(jnp.float32),
+        kx=(mag * jnp.cos(theta)).astype(jnp.float32),
+        ky=(mag * jnp.sin(theta)).astype(jnp.float32),
+        phase=phase.astype(jnp.float32),
+    )
+
+
 class HeightmapGround(struct.PyTreeNode):
     """Grid heightmap with bilinear interpolation and analytic normals.
 

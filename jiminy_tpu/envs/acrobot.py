@@ -83,5 +83,5 @@ class AcrobotEnv(BaseEnv):
     def _reward(self, prev: EnvState, action, sim: SimState):
         return jnp.where(self._terminated(sim), 0.0, -1.0)
 
-    def _terminated(self, sim: SimState):
+    def _terminated(self, sim: SimState, info=None):
         return self._tip_height(sim) > 1.0

@@ -39,8 +39,13 @@ class ANYmalEnv(WalkerEnv):
         target_speed: float = 0.8,
         pgs_iters: int = 8,
         reset_noise: float = 0.1,
-        terrain: str | None = None,  # None/"flat" | "perlin" | "stairs"
+        # None/"flat" | "perlin" | "stairs" (shared heightmap, chain
+        # kernel) | "fourier" (PER-ENV random rough ground resampled each
+        # episode, rides the whole-substep kernel)
+        terrain: str | None = None,
         terrain_seed: int = 0,
+        terrain_amplitude: float = 0.08,
+        terrain_wavelength: float = 1.5,
         push_magnitude: float = 0.0,
         observe: str = "state",  # "state" | "sensors" (IMU + encoders)
         sensor_delay: float = 0.0,
@@ -55,8 +60,17 @@ class ANYmalEnv(WalkerEnv):
             encoder_noise=encoder_noise,
         )
         ground = None
+        ground_sampler = None
         spawn_radius = 0.0
-        if terrain == "perlin":
+        if terrain == "fourier":
+            from jiminy_tpu.engine.ground import sample_fourier_ground
+
+            def ground_sampler(key):
+                return sample_fourier_ground(
+                    key, n_terms=16, amplitude=terrain_amplitude,
+                    wavelength=terrain_wavelength, octaves=3,
+                )
+        elif terrain == "perlin":
             from jiminy_tpu.engine.terrain import perlin_ground
 
             ground = perlin_ground(
@@ -84,6 +98,7 @@ class ANYmalEnv(WalkerEnv):
             pgs_iters=pgs_iters,
             reset_noise=reset_noise,
             ground=ground,
+            ground_sampler=ground_sampler,
             spawn_radius=spawn_radius,
             push_magnitude=push_magnitude,
             observe=observe,

@@ -48,7 +48,7 @@ class BaseEnv:
       - ``_sample_state(key) -> (q, v)``: initial conditions
       - ``_observe(sim, rng) -> obs``
       - ``_reward(prev, action, sim) -> float``
-      - ``_terminated(sim) -> bool``
+      - ``_terminated(sim, info) -> bool``
       - ``_action_to_command(action, sim) -> u (nv,)``
     """
 
@@ -128,8 +128,16 @@ class BaseEnv:
     def _reward(self, prev: EnvState, action: jax.Array, sim: SimState) -> jax.Array:
         raise NotImplementedError
 
-    def _terminated(self, sim: SimState) -> jax.Array:
+    def _terminated(self, sim: SimState, info: dict | None = None) -> jax.Array:
         return jnp.bool_(False)
+
+    def _step_ground(self, info: dict):
+        """Optional per-env ground override passed to ``engine.step`` —
+        the hook for per-env terrain domain randomization (each env's
+        ground lives as pytree leaves in ``info`` and is resampled on
+        auto-reset; reference: random ground per reset, SURVEY.md §2.4).
+        Return None to use the engine's static ground."""
+        return None
 
     def _action_to_command(self, action: jax.Array, sim: SimState) -> jax.Array:
         raise NotImplementedError
@@ -197,10 +205,12 @@ class BaseEnv:
         rng, k_obs, k_info, k_sens = jax.random.split(state.rng, 4)
         u = self._action_to_command(action, state.sim)
         fext = self._external_forces(state)
+        gnd = self._step_ground(state.info)
         sensor_info = {}
         if self.sensors is None:
             sim = self.engine.step(
-                state.sim, u, n_substeps=self.n_substeps, fext_user=fext
+                state.sim, u, n_substeps=self.n_substeps, fext_user=fext,
+                ground=gnd,
             )
         else:
             # sensor updates at their own period INSIDE the env step —
@@ -212,7 +222,7 @@ class BaseEnv:
             for i in range(self.n_obs_updates):
                 sim = self.engine.step(
                     sim, u, n_substeps=self.n_substeps_per_obs,
-                    fext_user=fext,
+                    fext_user=fext, ground=gnd,
                 )
                 k_sens, k_u = jax.random.split(k_sens)
                 bufs = self.sensors.update(
@@ -223,7 +233,7 @@ class BaseEnv:
         obs = self._make_obs(sim, k_obs, {**state.info, **sensor_info})
         reward = self._reward(state, action, sim)
         steps = state.steps + 1
-        terminated = self._terminated(sim)
+        terminated = self._terminated(sim, state.info)
         truncated = steps >= self.max_steps
         return state.replace(
             sim=sim,

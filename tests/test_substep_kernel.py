@@ -14,7 +14,7 @@ import numpy as np
 from jiminy_tpu.engine.engine import Engine, EngineOptions
 
 
-def _engines(tree, motors=None, **opt_kw):
+def _engines(tree, motors=None, ground=None, **opt_kw):
     out = {}
     for backend in ("xla", "pallas_substep"):
         out[backend] = Engine(
@@ -26,6 +26,7 @@ def _engines(tree, motors=None, **opt_kw):
                 **opt_kw,
             ),
             motors=motors,
+            ground=ground,
         )
     return out
 
@@ -55,6 +56,13 @@ def _compare(tree, engines, q0, u, n_substeps, atol_q, atol_v, B=4):
     a, b = outs["xla"], outs["pallas_substep"]
     np.testing.assert_allclose(b.q, a.q, atol=atol_q, rtol=1e-3)
     np.testing.assert_allclose(b.v, a.v, atol=atol_v, rtol=1e-2)
+    # world-frame contact forces now come straight out of the kernel
+    scale = max(1.0, float(jnp.max(jnp.abs(a.contact_forces))))
+    np.testing.assert_allclose(
+        np.asarray(b.contact_forces) / scale,
+        np.asarray(a.contact_forces) / scale,
+        atol=5e-3,
+    )
     return outs
 
 
@@ -83,6 +91,74 @@ class TestSubstepKernel:
             tree, engines, q0, jnp.zeros(robot.nmotors), n_substeps=2,
             atol_q=2e-4, atol_v=2e-2,
         )
+
+    def test_anymal_fourier_ground_matches_xla(self):
+        """Fourier terrain evaluated IN-KERNEL (height + analytic normal
+        + general tangent basis) vs the XLA path's ground.query —
+        VERDICT r1 #4: rough-terrain training on the whole-substep
+        kernel."""
+        from jiminy_tpu.engine.ground import sample_fourier_ground
+        from jiminy_tpu.models.quadruped import make_anymal, stand_q
+
+        robot = make_anymal()
+        tree = robot.tree
+        fg = sample_fourier_ground(
+            jax.random.PRNGKey(3), n_terms=12, amplitude=0.08,
+            wavelength=1.5,
+        )
+        q0 = jnp.asarray(stand_q(tree))
+        engines = _engines(
+            tree, motors=robot.motors, ground=fg, dt=5e-3, pgs_iters=8
+        )
+        assert engines["pallas_substep"]._substep_fourier
+        _compare(
+            tree, engines, q0, jnp.zeros(robot.nmotors), n_substeps=2,
+            atol_q=2e-4, atol_v=2e-2,
+        )
+
+    def test_fourier_per_env_grounds_batch(self):
+        """Per-env terrains: vmapping over BOTH state and ground
+        coefficients gives each env its own ground (missing #7); env 0's
+        result matches a solo run on its own terrain."""
+        from jiminy_tpu.engine.ground import sample_fourier_ground
+        from jiminy_tpu.models.quadruped import make_anymal, stand_q
+
+        robot = make_anymal()
+        tree = robot.tree
+        template = sample_fourier_ground(jax.random.PRNGKey(0), n_terms=8)
+        eng = Engine(
+            tree,
+            EngineOptions(
+                contact_model="constraint",
+                constraint_solver="pallas_substep",
+                dt=5e-3,
+                pgs_iters=8,
+            ),
+            motors=robot.motors,
+            ground=template,
+        )
+        B = 3
+        grounds = jax.vmap(
+            lambda k: sample_fourier_ground(k, n_terms=8)
+        )(jax.random.split(jax.random.PRNGKey(9), B))
+        q0 = jnp.tile(jnp.asarray(stand_q(tree)), (B, 1))
+        states = jax.vmap(lambda q: eng.reset(q=q))(q0)
+        u = jnp.zeros((B, robot.nmotors))
+        step = jax.jit(
+            jax.vmap(
+                lambda s, uu, g: eng.step(s, uu, n_substeps=3, ground=g)
+            )
+        )
+        out = step(states, u, grounds)
+        g0 = jax.tree.map(lambda x: x[0], grounds)
+        solo = eng.step(
+            jax.tree.map(lambda x: x[0], states), u[0], n_substeps=3,
+            ground=g0,
+        )
+        np.testing.assert_allclose(out.q[0], solo.q, atol=1e-5)
+        np.testing.assert_allclose(out.v[0], solo.v, atol=1e-4)
+        # different terrains must actually produce different motion
+        assert float(jnp.max(jnp.abs(out.v[0] - out.v[1]))) > 1e-5
 
     def test_gating_rejects_unsupported(self):
         """Configs outside the kernel's scope fail loudly at build."""
