@@ -363,15 +363,19 @@ class Engine:
         self, q: jax.Array | None = None, v: jax.Array | None = None
     ) -> SimState:
         tree = self.tree
+        q = tree.neutral_q() if q is None else jnp.asarray(q)
+        # all leaves follow q's dtype so an f64 caller (parity mode) gets
+        # an f64-consistent scan carry
+        dt_ = q.dtype
         return SimState(
-            t=jnp.float32(0.0),
-            q=tree.neutral_q() if q is None else q,
-            v=jnp.zeros(tree.nv) if v is None else v,
-            contact_forces=jnp.zeros((tree.ncp, 3)),
-            solver_residual=jnp.float32(0.0),
-            lam=jnp.zeros(self.n_constraint_rows),
-            a=jnp.zeros(tree.nv),
-            tau=jnp.zeros(tree.nv),
+            t=jnp.zeros((), dt_),
+            q=q,
+            v=jnp.zeros(tree.nv, dt_) if v is None else jnp.asarray(v),
+            contact_forces=jnp.zeros((tree.ncp, 3), dt_),
+            solver_residual=jnp.zeros((), dt_),
+            lam=jnp.zeros(self.n_constraint_rows, dt_),
+            a=jnp.zeros(tree.nv, dt_),
+            tau=jnp.zeros(tree.nv, dt_),
         )
 
     # -- dynamics ----------------------------------------------------------
@@ -784,9 +788,14 @@ class Engine:
 
             def body_imp(carry, _):
                 q, v, t, _, _, lam, _, _ = carry
-                q, v, f_c, res, lam, a, tau = self._impulse_substep(
-                    q, v, t, u, ground, fext_user, lam0=lam,
-                    contact_params=contact_params,
+                dt_ = q.dtype  # keep the carry dtype-stable in f64
+                # parity mode even if a solver branch emits f32
+                q, v, f_c, res, lam, a, tau = (
+                    x.astype(dt_)
+                    for x in self._impulse_substep(
+                        q, v, t, u, ground, fext_user, lam0=lam,
+                        contact_params=contact_params,
+                    )
                 )
                 return (q, v, t + dt, f_c, res, lam, a, tau), None
 
@@ -838,7 +847,8 @@ class Engine:
         tau = self._joint_torque(u, q, v, t)
         return SimState(
             t=t, q=q, v=v, contact_forces=f_contact,
-            solver_residual=jnp.float32(0.0), lam=state.lam, a=a, tau=tau,
+            solver_residual=jnp.zeros((), q.dtype), lam=state.lam,
+            a=a, tau=tau,
         )
 
     def simulate_adaptive(
