@@ -1,3 +1,4 @@
+from jiminy_tpu.utils import health
 from jiminy_tpu.utils.random import (
     PCG32,
     PeriodicFourierProcess,
@@ -10,4 +11,5 @@ __all__ = [
     "PeriodicFourierProcess",
     "PeriodicGaussianProcess",
     "PerlinNoise",
+    "health",
 ]
