@@ -108,6 +108,13 @@ class KinematicTree(struct.PyTreeNode):
     fp_pos: jax.Array = None  # (nf, 3)
     # contact point positions in body frame
     contact_pos: jax.Array = None  # (ncp, 3)
+    # collision-sphere radius per contact site (0 = bare point). A
+    # sphere site contacts the ground at center − r·n (surface point,
+    # recomputed every substep), which is what makes balls ROLL and
+    # capsule feet rock — the primitive-vs-ground analog of the
+    # reference's hpp-fcl collision bodies (SURVEY.md §2.1 "Model"),
+    # kept analytic so the query stays gather-free inside kernels.
+    contact_radius: jax.Array = None  # (ncp,)
 
     # ---- convenience -------------------------------------------------
     def joint_placement(self, i: int) -> Transform:
@@ -224,6 +231,7 @@ def merge_trees(
         fp_rot=cat([t.fp_rot for t in trees]),
         fp_pos=cat([t.fp_pos for t in trees]),
         contact_pos=cat([t.contact_pos for t in trees]),
+        contact_radius=cat([t.contact_radius for t in trees]),
     )
 
 
@@ -289,6 +297,7 @@ class TreeBuilder:
         self.fp: list[np.ndarray] = []
         self.contact_body: list[int] = []
         self.contact_pos: list[np.ndarray] = []
+        self.contact_radius: list[float] = []
         self.contact_frame_name: list[str] = []
 
     @staticmethod
@@ -505,11 +514,31 @@ class TreeBuilder:
         self.fp.append(np.eye(4, dtype=np.float32) if placement is None else placement)
         return len(self.frame_body) - 1
 
-    def add_contact_point(self, name: str, body: int, pos=(0.0, 0.0, 0.0)) -> int:
+    def add_contact_point(
+        self, name: str, body: int, pos=(0.0, 0.0, 0.0), radius: float = 0.0
+    ) -> int:
         self.contact_body.append(body)
         self.contact_pos.append(np.asarray(pos, np.float32))
+        self.contact_radius.append(float(radius))
         self.contact_frame_name.append(name)
         return len(self.contact_body) - 1
+
+    def add_contact_sphere(
+        self, name: str, body: int, center=(0.0, 0.0, 0.0), radius: float = 0.0
+    ) -> int:
+        """Collision sphere vs ground: contacts at center − r·n."""
+        return self.add_contact_point(name, body, center, radius=radius)
+
+    def add_contact_capsule(
+        self, name: str, body: int, p0, p1, radius: float
+    ) -> tuple[int, int]:
+        """Capsule vs ground as its two end spheres (the standard
+        primitive decomposition for ground contact: the cylindrical side
+        only touches flat ground when both ends do)."""
+        return (
+            self.add_contact_sphere(f"{name}_a", body, p0, radius=radius),
+            self.add_contact_sphere(f"{name}_b", body, p1, radius=radius),
+        )
 
     def build(self, dtype=jnp.float32) -> KinematicTree:
         nb = len(self.parent)
@@ -576,4 +605,5 @@ class TreeBuilder:
             fp_rot=arr(fp[:, :3, :3], (0, 3, 3)),
             fp_pos=arr(fp[:, :3, 3], (0, 3)),
             contact_pos=arr(cp, (0, 3)),
+            contact_radius=arr(self.contact_radius, (0,)),
         )

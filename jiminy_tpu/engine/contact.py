@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from jiminy_tpu.core import algos
@@ -42,7 +43,7 @@ def contact_points_world(
     vel: list[jax.Array],
 ) -> tuple[jax.Array, jax.Array]:
     """World positions (ncp, 3) and velocities (ncp, 3) of all contact
-    points."""
+    site CENTERS (sphere sites: the sphere center, not the surface)."""
     ps, vs = [], []
     for k in range(tree.ncp):
         b = tree.contact_body[k]
@@ -53,10 +54,65 @@ def contact_points_world(
     return jnp.stack(ps), jnp.stack(vs)
 
 
+def has_spheres(tree: KinematicTree) -> bool:
+    """Static (trace-time) check: any contact site with radius > 0."""
+    return tree.ncp > 0 and bool(np.any(np.asarray(tree.contact_radius) > 0))
+
+
+def surface_contacts(
+    tree: KinematicTree,
+    xw: list[Transform],
+    vel: list[jax.Array],
+    ground,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Per-substep contact manifolds for all sites vs the ground:
+    (points (ncp,3), velocities (ncp,3), depth (ncp,), normal (ncp,3)).
+
+    Bare points (r=0): the fixed body point, exactly as before. Sphere
+    sites (r>0): the surface point center − r·n̂ — the material point
+    that actually touches, so its Jacobian carries the ω×(−r·n̂) lever
+    arm that makes spheres ROLL under friction. Two-pass query: normal
+    at the center's xy picks the surface point; height at the surface
+    point's xy gives the depth (exact on flat ground, first-order on
+    curved terrain — same scheme in the substep kernel, so backends
+    agree). Reference: hpp-fcl primitive-vs-ground collision pairs
+    (SURVEY.md §2.1 "Model"), redesigned analytic for TPU."""
+    centers, v_c = contact_points_world(tree, xw, vel)
+    if not has_spheres(tree):
+        h, n = ground.query(centers[..., :2])
+        return centers, v_c, h - centers[..., 2], n
+    r = tree.contact_radius[:, None]
+    _, n1 = ground.query(centers[..., :2])
+    pts = centers - r * n1
+    h2, n2 = ground.query(pts[..., :2])
+    depth = h2 - pts[..., 2]
+    # velocity of the material point at the surface offset:
+    # v_p = v_c + ω × (p − c), all in world frame
+    omegas = jnp.stack(
+        [
+            xw[tree.contact_body[k]].rot @ vel[tree.contact_body[k]][:3]
+            for k in range(tree.ncp)
+        ]
+    )
+    v_p = v_c + jnp.cross(omegas, pts - centers)
+    return pts, v_p, depth, n2
+
+
 def spring_damper_forces(
     points: jax.Array,  # (ncp, 3) world positions
     velocities: jax.Array,  # (ncp, 3) world velocities
     ground,
+    params: ContactParams,
+) -> jax.Array:
+    """Penalty forces for bare points (queries the ground itself)."""
+    h, n = ground.query(points[..., :2])
+    return penalty_forces(h - points[..., 2], n, velocities, params)
+
+
+def penalty_forces(
+    depth: jax.Array,  # (ncp,) penetration (> 0 below the surface)
+    n: jax.Array,  # (ncp, 3) surface normals
+    velocities: jax.Array,  # (ncp, 3) world velocities of contact points
     params: ContactParams,
 ) -> jax.Array:
     """World-frame contact force (ncp, 3) at each point.
@@ -65,8 +121,6 @@ def spring_damper_forces(
     smooth ramp over ``transition_eps``; friction is Coulomb clamped,
     viscous below ``transition_velocity`` (matches the reference's smooth
     transition behavior)."""
-    h, n = ground.query(points[..., :2])
-    depth = h - points[..., 2]  # > 0 when below ground
     v_n = jnp.sum(velocities * n, axis=-1)
     # smooth activation over transition_eps avoids a hard discontinuity
     act = jnp.clip(depth / params.transition_eps, 0.0, 1.0)
@@ -113,6 +167,6 @@ def compute_contact_fext(
     forces_world (ncp,3) for telemetry/sensors)."""
     if tree.ncp == 0:
         return jnp.zeros((tree.nb, 6)), jnp.zeros((0, 3))
-    pts, vels = contact_points_world(tree, xw, vel)
-    f_w = spring_damper_forces(pts, vels, ground, params)
+    pts, vels, depth, n = surface_contacts(tree, xw, vel, ground)
+    f_w = penalty_forces(depth, n, vels, params)
     return forces_to_fext(tree, xw, f_w, pts), f_w

@@ -31,7 +31,7 @@ from jiminy_tpu.engine import steppers
 from jiminy_tpu.engine.contact import (
     ContactParams,
     compute_contact_fext,
-    contact_points_world,
+    surface_contacts,
 )
 from jiminy_tpu.engine.forces import compute_forces as compute_registered_forces
 from jiminy_tpu.engine.ground import FlatGround
@@ -656,9 +656,7 @@ class Engine:
         # quadrupeds), each color's rows contiguous for static slicing
         color_order = list(range(0, tree.ncp, 2)) + list(range(1, tree.ncp, 2))
         if use_contact_blocks:
-            pts, _ = contact_points_world(tree, xw, vel)
-            h, n = ground.query(pts[:, :2])
-            depth = h - pts[:, 2]  # > 0 when penetrating
+            pts, _, depth, n = surface_contacts(tree, xw, vel, ground)
             t1, t2 = cstr.tangent_basis(n)
             alpha = cstr.baumgarte_alpha(
                 jnp.float32(opts.contact_baumgarte_freq), dt

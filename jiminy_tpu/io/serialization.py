@@ -27,7 +27,7 @@ _TREE_STATIC = (
 _TREE_ARRAYS = (
     "jp_rot", "jp_pos", "axis", "inertia_mass", "inertia_h", "inertia_mat",
     "armature", "damping", "stiffness", "q_min", "q_max", "v_max", "u_max",
-    "gravity", "fp_rot", "fp_pos", "contact_pos",
+    "gravity", "fp_rot", "fp_pos", "contact_pos", "contact_radius",
 )
 
 
@@ -53,6 +53,10 @@ def tree_from_dict(d: dict) -> KinematicTree:
             v = tuple(v)
         kwargs[k] = v
     for k in _TREE_ARRAYS:
+        if k == "contact_radius" and k not in d:
+            # logs written before collision spheres existed: bare points
+            kwargs[k] = jnp.zeros(len(d["contact_body"]), jnp.float32)
+            continue
         kwargs[k] = jnp.asarray(np.asarray(d[k], np.float32))
     return KinematicTree(**kwargs)
 

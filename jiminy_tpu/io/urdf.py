@@ -13,8 +13,10 @@ parser targeting the URDF subset used by robot-simulation assets:
   as operational frames, matching the reference's model reduction.
 
 Unsupported (rejected loudly): planar joints, mimic joints.
-Geometry (<visual>/<collision>) is ignored — contact points come from the
-hardware description (contact frame names), as in the reference.
+<visual> geometry is ignored. <collision> sphere/capsule/cylinder/box
+primitives are parsed into per-link footprint candidates; the hardware
+description opts links in via ``[Global] collisionBodyNames`` (mirrors
+the reference's collision-bodies list; SURVEY.md §2.1 "Model").
 """
 
 from __future__ import annotations
@@ -194,6 +196,52 @@ def parse_urdf(
                 carrier[child] = (idx, np.eye(4, dtype=np.float32))
                 b.add_frame(child + "_frame", idx)
             stack.append(child)
+
+    # ---- <collision> primitives → ground-contact footprint candidates --
+    # Stored per link on the builder; attached as contact spheres only
+    # for links the hardware description opts in via
+    # ``[Global] collisionBodyNames`` (the reference's collision bodies
+    # list resolved through hpp-fcl; here analytic primitives-vs-ground,
+    # SURVEY.md §2.1 "Model"). Each entry: ("sphere", center(3), r) or
+    # ("capsule", p0(3), p1(3), r) or ("box", corners(8,3)) — in the
+    # CARRIER body frame (fused fixed links folded in).
+    b.urdf_collisions = {}
+    for lname, link in links.items():
+        if lname not in carrier:
+            continue
+        body, T_link = carrier[lname]
+        geoms = []
+        for col in link.findall("collision"):
+            T = T_link @ _origin(col.find("origin"))
+            g = col.find("geometry")
+            if g is None:
+                continue
+            R, p = T[:3, :3], T[:3, 3]
+            sph = g.find("sphere")
+            cap = g.find("capsule")
+            cyl = g.find("cylinder")
+            box = g.find("box")
+            if sph is not None:
+                geoms.append(("sphere", p.copy(), float(sph.get("radius"))))
+            elif cap is not None or cyl is not None:
+                e = cap if cap is not None else cyl
+                r = float(e.get("radius"))
+                half = 0.5 * float(e.get("length"))
+                z = R[:, 2]
+                geoms.append(("capsule", p - half * z, p + half * z, r))
+            elif box is not None:
+                hx, hy, hz = 0.5 * _floats(box.get("size"), 3)
+                corners = np.stack(
+                    [
+                        R @ np.array([sx, sy, sz], np.float32) + p
+                        for sx in (-hx, hx)
+                        for sy in (-hy, hy)
+                        for sz in (-hz, hz)
+                    ]
+                )
+                geoms.append(("box", corners))
+        if geoms:
+            b.urdf_collisions[lname] = (body, geoms)
     return b, info
 
 

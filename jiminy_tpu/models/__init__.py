@@ -6,6 +6,7 @@ from jiminy_tpu.models.toys import (
     make_double_pendulum,
     make_cartpole,
     make_acrobot,
+    make_ball,
     make_free_box,
 )
 from jiminy_tpu.models.quadruped import (
@@ -26,6 +27,7 @@ __all__ = [
     "make_double_pendulum",
     "make_cartpole",
     "make_acrobot",
+    "make_ball",
     "make_free_box",
     "QuadrupedParams",
     "ANYMAL",

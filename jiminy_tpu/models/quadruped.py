@@ -52,6 +52,14 @@ class QuadrupedParams:
     friction_viscous: float = 0.05
     stand_hfe: float = 0.4
     stand_kfe: float = -0.8
+    # collision-capsule feet (reference: collision bodies via hpp-fcl,
+    # SURVEY.md §2.1 "Model"). 0 = bare contact points (the default,
+    # fastest path); > 0 emits a <collision> capsule on each foot link
+    # (axis along y, length foot_len) and the hardware opts the feet in
+    # via collisionBodyNames, so each foot contacts the ground at the
+    # capsule SURFACE (two end spheres, center − r·n̂) and can rock/roll.
+    foot_radius: float = 0.0
+    foot_len: float = 0.0
 
 
 ANYMAL = QuadrupedParams()
@@ -93,14 +101,25 @@ def _box_inertia(m, x, y, z):
 def quadruped_urdf(p: QuadrupedParams) -> str:
     """Generate a quadruped URDF document from morphology parameters."""
 
-    def link(name, mass, com, ixx, iyy, izz):
+    def link(name, mass, com, ixx, iyy, izz, extra=""):
         return f"""  <link name="{name}">
     <inertial>
       <origin xyz="{com[0]} {com[1]} {com[2]}" rpy="0 0 0"/>
       <mass value="{mass}"/>
       <inertia ixx="{ixx}" ixy="0" ixz="0" iyy="{iyy}" iyz="0" izz="{izz}"/>
-    </inertial>
+    </inertial>{extra}
   </link>"""
+
+    # capsule feet: <collision> capsule, axis along y (rpy rotates the
+    # capsule's local z onto y), opted in via collisionBodyNames in the
+    # hardware description (see QuadrupedParams.foot_radius)
+    foot_extra = ""
+    if p.foot_radius > 0:
+        foot_extra = f"""
+    <collision>
+      <origin xyz="0 0 0" rpy="1.5707963267948966 0 0"/>
+      <geometry><capsule radius="{p.foot_radius}" length="{p.foot_len}"/></geometry>
+    </collision>"""
 
     def joint(name, jtype, parent, child, xyz, axis=None, lower=None,
               upper=None, effort=p.effort, velocity=p.velocity, damping=0.0):
@@ -136,7 +155,8 @@ def quadruped_urdf(p: QuadrupedParams) -> str:
             link(hip, p.hip_mass, (0, sy * 0.02, 0), *hi),
             link(thigh, p.thigh_mass, (0, 0, -p.thigh_len / 2), *ti),
             link(shank, p.shank_mass, (0, 0, -p.shank_len / 2), *si),
-            link(foot, p.foot_mass, (0, 0, 0), 1e-5, 1e-5, 1e-5),
+            link(foot, p.foot_mass, (0, 0, 0), 1e-5, 1e-5, 1e-5,
+                 extra=foot_extra),
             joint(
                 f"{leg}_HAA", "revolute", "base", hip,
                 (sx * p.hip_x, sy * p.hip_y, 0.0), axis="1 0 0",
@@ -192,13 +212,27 @@ def quadruped_hardware(
                 "noiseStd": encoder_noise,
             }
             efforts[jn] = {"motor_name": jn}
-    contacts = {
-        f"{leg}_FOOT_SENSOR": {"frame_name": f"{leg}_FOOT"} for leg in _LEGS
-    }
-    return {
-        "Global": {
+    if p.foot_radius > 0:
+        # capsule feet: contacts come from the URDF <collision> capsules
+        # (two surface-point end spheres per foot); each contact sensor
+        # reads one end-sphere site
+        global_cfg = {
+            "collisionBodyNames": [f"{leg}_FOOT" for leg in _LEGS],
+        }
+        contacts = {
+            f"{leg}_FOOT_SENSOR": {"frame_name": f"{leg}_FOOT_col0_a"}
+            for leg in _LEGS
+        }
+    else:
+        global_cfg = {
             "contactFrameNames": [f"{leg}_FOOT" for leg in _LEGS],
-        },
+        }
+        contacts = {
+            f"{leg}_FOOT_SENSOR": {"frame_name": f"{leg}_FOOT"}
+            for leg in _LEGS
+        }
+    return {
+        "Global": global_cfg,
         "Motor": {"SimpleMotor": motors},
         "Sensor": {
             "ImuSensor": {
@@ -238,6 +272,7 @@ def stand_q(tree, params: QuadrupedParams = ANYMAL) -> np.ndarray:
     q[2] = (
         params.thigh_len * np.cos(hfe)
         + params.shank_len * np.cos(hfe + kfe)
+        + params.foot_radius  # capsule feet ride on the surface point
         + 0.01
     )
     q[6] = 1.0  # identity quaternion (xyzw)

@@ -152,6 +152,27 @@ def make_acrobot(
     return b.build()
 
 
+def make_ball(mass: float = 1.0, radius: float = 0.1) -> KinematicTree:
+    """Free-floating solid sphere with ONE collision-sphere contact site
+    at its center — the rolling-contact fixture. The contact point is
+    recomputed each substep at center − r·n̂, so its Jacobian carries the
+    ω×(−r·n̂) lever arm and Coulomb friction makes the ball roll (slide →
+    roll transition: v∞ = 5/7·v₀ for a solid sphere)."""
+    i = 0.4 * mass * radius * radius  # solid sphere: 2/5 m r²
+    b = TreeBuilder()
+    ball = b.add_body(
+        "ball",
+        parent=-1,
+        joint_type=JointType.FREE,
+        mass=mass,
+        com=(0, 0, 0),
+        inertia=np.diag([i, i, i]).astype(np.float32),
+        joint_name="root",
+    )
+    b.add_contact_sphere("surface", ball, (0.0, 0.0, 0.0), radius=radius)
+    return b.build()
+
+
 def make_free_box(
     mass: float = 1.0, half_extents=(0.1, 0.1, 0.1)
 ) -> KinematicTree:

@@ -210,6 +210,11 @@ class SubstepSpec:
         self.q_max = f(tree.q_max)
         self.contact_body = [int(b) for b in tree.contact_body]
         self.contact_pos = f(tree.contact_pos)
+        # collision-sphere radii (0 = bare point); static per site, so
+        # the surface-point offset unrolls with no dynamic control flow
+        self.contact_radius = [
+            float(x) for x in np.asarray(tree.contact_radius)
+        ]
         self.opts = opts
         self.cfg = solve_cfg
         self.bounded_joints = list(bounded_joints)
@@ -473,14 +478,48 @@ def _substep_body(spec: SubstepSpec, refs):
         return Jk
 
     # ---- contact geometry + Jacobian rows --------------------------------
-    pts = []
-    Jp = []  # list of (3, nv) nested lists
+    # site centers in world frame; sphere sites (radius > 0) then offset
+    # to the surface point center − r·n̂ BEFORE the Jacobians are taken,
+    # so the rows carry the rolling lever arm (mirrors
+    # contact.surface_contacts: same two-pass scheme, backends agree)
+    centers = []
     for k in range(ncp):
         b = spec.contact_body[k]
         pl = [float(x) for x in spec.contact_pos[k]]
-        pw = v_add(m_vec(xw[b][0], pl), xw[b][1])
-        pts.append(pw)
-        Jp.append(point_jac(b, pw))
+        centers.append(v_add(m_vec(xw[b][0], pl), xw[b][1]))
+
+    if use_fourier:
+        K = spec.n_fourier
+        g_amp = [gc_ref[j, 0] for j in range(K)]
+        g_kx = [gc_ref[K + j, 0] for j in range(K)]
+        g_ky = [gc_ref[2 * K + j, 0] for j in range(K)]
+        g_ph = [gc_ref[3 * K + j, 0] for j in range(K)]
+
+        def fourier_query(px, py):
+            """h(x,y) and the height gradient as fused lane math."""
+            h, gx, gy = lane(spec.ground_height), zero, zero
+            for j in range(K):
+                arg = g_kx[j] * px + g_ky[j] * py + g_ph[j]
+                s, c = jnp.sin(arg), jnp.cos(arg)
+                h = h + g_amp[j] * s
+                gx = gx + g_amp[j] * g_kx[j] * c
+                gy = gy + g_amp[j] * g_ky[j] * c
+            return h, gx, gy
+
+    pts = []
+    for k in range(ncp):
+        c = centers[k]
+        r_k = spec.contact_radius[k]
+        if r_k == 0.0:
+            pts.append(c)
+        elif use_fourier:
+            _, gx, gy = fourier_query(c[0], c[1])
+            inv = jax.lax.rsqrt(gx * gx + gy * gy + 1.0)
+            n1 = [-gx * inv, -gy * inv, inv]
+            pts.append([c[r] - r_k * n1[r] for r in range(3)])
+        else:
+            pts.append([c[0], c[1], c[2] - r_k])  # flat: n̂ = e_z
+    Jp = [point_jac(spec.contact_body[k], pts[k]) for k in range(ncp)]
 
     # ground query: depth + contact basis (t1, t2, n) per point.
     # flat: n=(0,0,1) ⇒ tangent_basis gives t1=(0,−1,0), t2=(1,0,0);
@@ -489,21 +528,9 @@ def _substep_body(spec: SubstepSpec, refs):
     depth = []
     basis = []  # per point: (t1, t2, n) — python floats for flat
     if use_fourier:
-        K = spec.n_fourier
-        g_amp = [gc_ref[j, 0] for j in range(K)]
-        g_kx = [gc_ref[K + j, 0] for j in range(K)]
-        g_ky = [gc_ref[2 * K + j, 0] for j in range(K)]
-        g_ph = [gc_ref[3 * K + j, 0] for j in range(K)]
         for k in range(ncp):
             px, py, pz = pts[k]
-            h = lane(spec.ground_height)
-            gx, gy = zero, zero
-            for j in range(K):
-                arg = g_kx[j] * px + g_ky[j] * py + g_ph[j]
-                s, c = jnp.sin(arg), jnp.cos(arg)
-                h = h + g_amp[j] * s
-                gx = gx + g_amp[j] * g_kx[j] * c
-                gy = gy + g_amp[j] * g_ky[j] * c
+            h, gx, gy = fourier_query(px, py)
             inv = jax.lax.rsqrt(gx * gx + gy * gy + 1.0)
             nk = [-gx * inv, -gy * inv, inv]
             # cstr.tangent_basis: ref = e_z when |n_z| < 0.9 else e_x

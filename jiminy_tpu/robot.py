@@ -143,6 +143,60 @@ def build_robot(
             raise ValueError(f"contact frame {cname!r} attached to the world")
         builder.add_contact_point(cname, body, pos)
 
+    # ---- collision bodies: URDF <collision> primitives vs ground ------
+    # [Global] collisionBodyNames = ["LF_FOOT", ...] — attaches the
+    # parsed sphere/capsule/box footprints of those links as contact
+    # sites (spheres keep their radius: surface-point contact, rolling
+    # Jacobians; reference: collision bodies via hpp-fcl, SURVEY.md §2.1)
+    for lname in hw.get("Global", {}).get("collisionBodyNames", []):
+        if lname not in getattr(builder, "urdf_collisions", {}):
+            raise ValueError(
+                f"collision body {lname!r}: no <collision> geometry in "
+                "the URDF for that link"
+            )
+        body, geoms = builder.urdf_collisions[lname]
+        if body < 0:
+            raise ValueError(f"collision body {lname!r} fixed to the world")
+        for gi, g in enumerate(geoms):
+            base = f"{lname}_col{gi}"
+            if g[0] == "sphere":
+                builder.add_contact_sphere(base, body, g[1], radius=g[2])
+            elif g[0] == "capsule":
+                builder.add_contact_capsule(base, body, g[1], g[2], g[3])
+            else:  # box: corner points
+                for ci, c in enumerate(g[1]):
+                    builder.add_contact_point(f"{base}_c{ci}", body, c)
+
+    # explicit contact spheres/capsules with offsets from a link/frame:
+    # [Global] contactSpheres = {name: {frame_name, center, radius}}
+    # [Global] contactCapsules = {name: {frame_name, p0, p1, radius}}
+    for cname, cfg in hw.get("Global", {}).get("contactSpheres", {}).items():
+        kind, idx = _resolve(info, builder, cfg["frame_name"])
+        off = np.asarray(cfg.get("center", (0.0, 0.0, 0.0)), np.float32)
+        if kind == "frame":
+            body = builder.frame_body[idx]
+            T = builder.fp[idx]
+            off = T[:3, :3] @ off + T[:3, 3]
+        else:
+            body = idx
+        builder.add_contact_sphere(
+            cname, body, off, radius=float(cfg["radius"])
+        )
+    for cname, cfg in hw.get("Global", {}).get("contactCapsules", {}).items():
+        kind, idx = _resolve(info, builder, cfg["frame_name"])
+        p0 = np.asarray(cfg["p0"], np.float32)
+        p1 = np.asarray(cfg["p1"], np.float32)
+        if kind == "frame":
+            body = builder.frame_body[idx]
+            T = builder.fp[idx]
+            p0 = T[:3, :3] @ p0 + T[:3, 3]
+            p1 = T[:3, :3] @ p1 + T[:3, 3]
+        else:
+            body = idx
+        builder.add_contact_capsule(
+            cname, body, p0, p1, float(cfg["radius"])
+        )
+
     # explicit contact points with offsets from a link/frame:
     # [Global] contactPoints = {name: {frame_name, pos = [x, y, z]}}
     for cname, cfg in hw.get("Global", {}).get("contactPoints", {}).items():
