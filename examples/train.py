@@ -21,14 +21,23 @@ import numpy as np
 
 def make_env(name: str, max_steps: int, terrain=None, push=0.0,
              observe="state", sensor_delay=0.0, imu_noise=0.0,
-             encoder_noise=0.0):
+             encoder_noise=0.0, mdp="hardcoded"):
     import jiminy_tpu.envs as E
 
     if name == "anymal":
+        mdp_kwargs = {}
+        if mdp == "declarative":
+            # reward/termination composed from the L4 declarative layer
+            # (quantities + compositions) instead of the hand-coded MDP
+            reward_fn, termination_fn = E.anymal_declarative_mdp()
+            mdp_kwargs = {
+                "reward_fn": reward_fn, "termination_fn": termination_fn,
+            }
         return E.ANYmalEnv(
             max_steps=max_steps, terrain=terrain, push_magnitude=push,
             observe=observe, sensor_delay=sensor_delay,
             imu_noise=imu_noise, encoder_noise=encoder_noise,
+            **mdp_kwargs,
         )
     if name == "cassie":
         return E.CassieEnv(sim_dt=2e-3, max_steps=max_steps, target_speed=0.4)
@@ -67,6 +76,16 @@ def main():
     ap.add_argument("--sensor-delay", type=float, default=0.0)
     ap.add_argument("--imu-noise", type=float, default=0.0)
     ap.add_argument("--encoder-noise", type=float, default=0.0)
+    ap.add_argument("--mdp", default="hardcoded",
+                    choices=["hardcoded", "declarative"],
+                    help="anymal only: hand-coded reward/termination or "
+                    "the equivalent composed from the declarative "
+                    "quantities/compositions layer")
+    ap.add_argument("--pipeline", default=None,
+                    help="comma-separated declarative wrapper layers, "
+                    "e.g. 'stack:4,normalize' (build_pipeline dogfood); "
+                    "disables the mirror-symmetry surrogate (obs layout "
+                    "changes)")
     args = ap.parse_args()
     out = pathlib.Path(args.out or f"/tmp/{args.env}_run")
     out.mkdir(parents=True, exist_ok=True)
@@ -82,8 +101,19 @@ def main():
         env = make_env(
             args.env, args.max_steps, args.terrain, args.push,
             args.observe, args.sensor_delay, args.imu_noise,
-            args.encoder_noise,
+            args.encoder_noise, args.mdp,
         )
+        if args.pipeline:
+            from jiminy_tpu.envs.pipeline import build_pipeline
+
+            layers = []
+            for part in args.pipeline.split(","):
+                kind, _, arg = part.partition(":")
+                spec = {"type": kind}
+                if kind == "stack":
+                    spec["n"] = int(arg or 4)
+                layers.append(spec)
+            env = build_pipeline(env, layers)
     cfg = PPOConfig(
         num_envs=args.num_envs,
         rollout_len=32,

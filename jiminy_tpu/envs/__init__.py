@@ -3,7 +3,7 @@
 from jiminy_tpu.envs.base import BaseEnv, EnvState
 from jiminy_tpu.envs.cartpole import CartPoleEnv
 from jiminy_tpu.envs.acrobot import AcrobotEnv
-from jiminy_tpu.envs.anymal import ANYmalEnv
+from jiminy_tpu.envs.anymal import ANYmalEnv, anymal_declarative_mdp
 from jiminy_tpu.envs.locomotion import WalkerEnv
 from jiminy_tpu.envs.legged import AntEnv, AtlasEnv, CassieEnv, SpotmicroEnv
 from jiminy_tpu.envs.pipeline import build_pipeline
@@ -15,6 +15,7 @@ __all__ = [
     "CartPoleEnv",
     "AcrobotEnv",
     "ANYmalEnv",
+    "anymal_declarative_mdp",
     "WalkerEnv",
     "AntEnv",
     "AtlasEnv",

@@ -48,6 +48,16 @@ def tracking_reward(
     return fn
 
 
+def quantity_reward(
+    quantity: Callable[[QuantityContext], jax.Array],
+) -> RewardFn:
+    """Raw quantity as a reward term (reference: QuantityReward) — the
+    generic escape hatch for shaping terms that aren't trackers, e.g.
+    uprightness = ``ctx.base_tilt`` or a lateral-slip penalty; weight it
+    inside :func:`additive_mixture`."""
+    return lambda ctx, action: quantity(ctx)
+
+
 def survival_reward(value: float = 1.0) -> RewardFn:
     """Constant alive bonus (reference: SurvivalReward)."""
     return lambda ctx, action: jnp.float32(value)
@@ -109,7 +119,11 @@ def quantity_termination(
 
 
 def base_height_termination(min_height: float) -> TerminationFn:
-    return quantity_termination(lambda ctx: ctx.sim.q[2], low=min_height)
+    """Terminate when the base drops below ``min_height`` above the LOCAL
+    ground (terrain-aware when the context carries a ground)."""
+    return quantity_termination(
+        lambda ctx: ctx.base_height_above_ground, low=min_height
+    )
 
 
 def base_tilt_termination(max_tilt_cos: float = 0.6) -> TerminationFn:

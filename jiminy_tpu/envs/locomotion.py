@@ -62,6 +62,8 @@ class WalkerEnv(BaseEnv):
         constraints: tuple = (),
         observe: str = "state",  # "state" (privileged) | "sensors"
         ground_sampler=None,  # callable key -> FourierGround: per-env terrain
+        reward_fn=None,  # compositions.RewardFn: replaces the built-in reward
+        termination_fn=None,  # compositions.TerminationFn: replaces built-in
     ):
         self.robot = robot
         self.ground_sampler = ground_sampler
@@ -83,6 +85,12 @@ class WalkerEnv(BaseEnv):
         self.min_height = min_height
         self.max_tilt_cos = max_tilt_cos
         self._q_stand = jnp.asarray(stand_pose)
+        # declarative MDP (reference's L4 pattern, SURVEY.md §2.4
+        # "Compositions"): when given, reward/termination are
+        # compositions over a QuantityContext instead of the hand-coded
+        # defaults below — see envs.anymal.anymal_declarative_mdp
+        self._reward_fn = reward_fn
+        self._termination_fn = termination_fn
 
         motors = robot.motors
         self._stand_targets, _ = motors.joint_state(
@@ -252,7 +260,20 @@ class WalkerEnv(BaseEnv):
         action = jnp.clip(action, -1.0, 1.0)
         return self._stand_targets + self.action_scale * action
 
+    def _quantity_ctx(self, sim: SimState, info: dict | None):
+        from jiminy_tpu.envs.quantities import QuantityContext
+
+        ground = (
+            info["ground"] if info and "ground" in info
+            else self.engine.ground
+        )
+        return QuantityContext(self.tree, sim, ground=ground)
+
     def _reward(self, prev, action, sim: SimState) -> jax.Array:
+        if self._reward_fn is not None:
+            return self._reward_fn(
+                self._quantity_ctx(sim, prev.info), action
+            )
         R, grav_b, w_b, v_b = self._base_frames(sim)
         v_world = R @ v_b
         track = jnp.exp(-jnp.square(v_world[0] - self.target_speed) / 0.25)
@@ -268,6 +289,8 @@ class WalkerEnv(BaseEnv):
         )
 
     def _terminated(self, sim: SimState, info: dict | None = None) -> jax.Array:
+        if self._termination_fn is not None:
+            return self._termination_fn(self._quantity_ctx(sim, info))
         _, grav_b, _, _ = self._base_frames(sim)
         fallen = grav_b[2] > -self.max_tilt_cos
         # height above local ground (the env's own terrain if per-env)

@@ -29,10 +29,13 @@ class QuantityContext:
     Create one per step evaluation; every property memoizes its value for
     the duration of the trace (the reference's per-step cache)."""
 
-    def __init__(self, tree: KinematicTree, sim: SimState, gravity=9.81):
+    def __init__(
+        self, tree: KinematicTree, sim: SimState, gravity=9.81, ground=None
+    ):
         self.tree = tree
         self.sim = sim
         self.g = gravity
+        self.ground = ground  # optional: enables terrain-aware quantities
         self._cache: dict = {}
 
     def _memo(self, name, fn):
@@ -131,6 +134,38 @@ class QuantityContext:
             return jnp.array([pos[0], pos[1], rpy[2]])
 
         return self._memo("odom", f)
+
+    @property
+    def base_velocity_world(self) -> jax.Array:
+        """Base linear velocity in the WORLD frame (3,) — the reference's
+        BaseOdometryAverageVelocity-style tracking quantity (here
+        instantaneous; wrap in a stacked pipeline layer to average)."""
+
+        def f():
+            R = so3.quat_to_matrix(self.sim.q[3:7])
+            return R @ self.sim.v[0:3]
+
+        return self._memo("base_vw", f)
+
+    @property
+    def base_angular_velocity(self) -> jax.Array:
+        """Base angular velocity in the BASE frame (3,)."""
+        return self.sim.v[3:6]
+
+    @property
+    def base_height_above_ground(self) -> jax.Array:
+        """Base height above the LOCAL ground surface (scalar). Uses the
+        context's ground (per-env terrain under domain randomization);
+        plain ``q[2]`` when no ground was attached."""
+
+        def f():
+            z = self.sim.q[2]
+            if self.ground is None:
+                return z
+            h, _ = self.ground.query(self.sim.q[:2])
+            return z - h
+
+        return self._memo("base_h", f)
 
     @property
     def base_tilt(self) -> jax.Array:
