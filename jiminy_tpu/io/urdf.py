@@ -242,6 +242,51 @@ def parse_urdf(
                 geoms.append(("box", corners))
         if geoms:
             b.urdf_collisions[lname] = (body, geoms)
+
+    # ---- <visual> (falling back to <collision>) display geometry -------
+    # Full-fidelity primitives for the 3-D viewer (reference renders the
+    # robot's meshes through meshcat/panda3d, SURVEY.md §2.3 "Viewer /
+    # replay"; here primitives + STL meshes, rendered dependency-free).
+    # Each entry: {"type": "sphere"|"capsule"|"cylinder"|"box"|"mesh",
+    # "R": (3,3), "p": (3,), ...type params}, in the CARRIER body frame.
+    b.urdf_visuals = {}
+    for lname, link in links.items():
+        if lname not in carrier:
+            continue
+        body, T_link = carrier[lname]
+        elems = link.findall("visual") or link.findall("collision")
+        geoms = []
+        for el in elems:
+            g = el.find("geometry")
+            if g is None:
+                continue
+            T = T_link @ _origin(el.find("origin"))
+            R, p = T[:3, :3].copy(), T[:3, 3].copy()
+            sph, cap, cyl, box, mesh = (
+                g.find(k) for k in
+                ("sphere", "capsule", "cylinder", "box", "mesh")
+            )
+            if sph is not None:
+                geoms.append({"type": "sphere", "R": R, "p": p,
+                              "radius": float(sph.get("radius"))})
+            elif cap is not None:
+                geoms.append({"type": "capsule", "R": R, "p": p,
+                              "radius": float(cap.get("radius")),
+                              "length": float(cap.get("length"))})
+            elif cyl is not None:
+                geoms.append({"type": "cylinder", "R": R, "p": p,
+                              "radius": float(cyl.get("radius")),
+                              "length": float(cyl.get("length"))})
+            elif box is not None:
+                geoms.append({"type": "box", "R": R, "p": p,
+                              "size": _floats(box.get("size"), 3)})
+            elif mesh is not None:
+                scale = _floats(mesh.get("scale"), 3, default=1.0)
+                geoms.append({"type": "mesh", "R": R, "p": p,
+                              "filename": mesh.get("filename") or "",
+                              "scale": scale})
+        if geoms:
+            b.urdf_visuals.setdefault(body, []).extend(geoms)
     return b, info
 
 

@@ -50,11 +50,16 @@ class Robot:
         motors: Motors | None = None,
         sensors: SensorSuite | None = None,
         name: str = "robot",
+        visuals: dict | None = None,
     ):
         self.tree = tree
         self.motors = motors
         self.sensors = sensors
         self.name = name
+        # display geometry for the 3-D viewer: {body_idx: [geom dicts]}
+        # from URDF <visual>/<collision> (io/urdf.py); None → the viewer
+        # auto-generates skeleton capsules
+        self.visuals = visuals
 
     @property
     def nmotors(self) -> int:
@@ -282,7 +287,10 @@ def build_robot(
                 spec["target"] = target
             specs.append(spec)
     sensors = SensorSuite.build(tree, specs, sensor_period) if specs else None
-    return Robot(tree, motors=motors, sensors=sensors, name=name)
+    return Robot(
+        tree, motors=motors, sensors=sensors, name=name,
+        visuals=getattr(builder, "urdf_visuals", None) or None,
+    )
 
 
 def _resolve(info, builder, name):
