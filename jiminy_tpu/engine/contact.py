@@ -114,13 +114,25 @@ def penalty_forces(
     n: jax.Array,  # (ncp, 3) surface normals
     velocities: jax.Array,  # (ncp, 3) world velocities of contact points
     params: ContactParams,
+    dt: float | None = None,
+    m_eff: jax.Array | np.ndarray | None = None,
 ) -> jax.Array:
     """World-frame contact force (ncp, 3) at each point.
 
     f_n = (k·δ − d·δ̇)₊ · n, active only when penetrating (δ > 0), with a
     smooth ramp over ``transition_eps``; friction is Coulomb clamped,
     viscous below ``transition_velocity`` (matches the reference's smooth
-    transition behavior)."""
+    transition behavior).
+
+    Stability clamp (``dt`` + ``m_eff``): the regularized-friction slope
+    μ·f_n/v_tr integrated explicitly diverges when slope·dt outruns the
+    tangential effective mass at the contact (the leg's reflected
+    inertia — ~0.5 kg at an ANYmal foot, NOT the supported weight).
+    With both given, the transition band widens elementwise to
+    max(v_tr, μ·f_n·dt / (2·m_eff)), capping slope·dt/m_eff at 2 (the
+    empirical blow-up sits at ≈5–6 for a PD-held ANYmal stance, which
+    collapsed at default v_tr before this clamp). Fine-dt behavior and
+    the dt-free adaptive-stepper ODE right-hand side are untouched."""
     v_n = jnp.sum(velocities * n, axis=-1)
     # smooth activation over transition_eps avoids a hard discontinuity
     act = jnp.clip(depth / params.transition_eps, 0.0, 1.0)
@@ -129,8 +141,13 @@ def penalty_forces(
     ) * act
     v_t = velocities - v_n[..., None] * n
     vt_norm = jnp.linalg.norm(v_t, axis=-1)
+    v_tr = params.transition_velocity
+    if dt is not None and m_eff is not None:
+        v_tr = jnp.maximum(
+            v_tr, params.friction * f_n * dt / (2.0 * jnp.asarray(m_eff))
+        )
     # regularized Coulomb: ratio → μ for vt >> v_transition, linear below
-    scale = jnp.minimum(vt_norm / params.transition_velocity, 1.0)
+    scale = jnp.minimum(vt_norm / v_tr, 1.0)
     f_t_mag = params.friction * f_n * scale
     t_dir = v_t / jnp.maximum(vt_norm, 1e-9)[..., None]
     return f_n[..., None] * n - f_t_mag[..., None] * t_dir
@@ -156,17 +173,44 @@ def forces_to_fext(
     return fext
 
 
+def contact_effective_mass(tree: KinematicTree) -> np.ndarray:
+    """Static per-contact TANGENTIAL effective mass (ncp,) from the
+    Delassus diagonal at the neutral configuration:
+    m_eff = 1 / max(diag(J·M⁻¹·Jᵀ)_xx, _yy). Build-time only (numpy);
+    bounds the explicitly-integrated friction slope in
+    :func:`penalty_forces` — the leg's reflected inertia, not the
+    supported weight, is what reacts to tangential contact force."""
+    import jax.numpy as jnp
+
+    q = tree.neutral_q()
+    xw, _ = algos.kinematics(tree, q, jnp.zeros(tree.nv))
+    M = np.asarray(algos.crba(tree, q), np.float64)
+    Minv = np.linalg.inv(M)
+    out = []
+    for k in range(tree.ncp):
+        b = tree.contact_body[k]
+        p = xw[b].apply(tree.contact_pos[k])
+        J = np.asarray(algos.point_jacobian(tree, xw, b, p), np.float64)
+        W = J @ Minv @ J.T
+        out.append(1.0 / max(W[0, 0], W[1, 1], 1e-9))
+    return np.asarray(out, np.float32)
+
+
 def compute_contact_fext(
     tree: KinematicTree,
     xw: list[Transform],
     vel: list[jax.Array],
     ground,
     params: ContactParams,
+    dt: float | None = None,
+    m_eff=None,
 ) -> tuple[jax.Array, jax.Array]:
     """Full spring-damper pipeline: returns (fext (nb,6) local wrenches,
-    forces_world (ncp,3) for telemetry/sensors)."""
+    forces_world (ncp,3) for telemetry/sensors). ``dt``/``m_eff``:
+    integrator step + per-contact tangential effective mass for the
+    friction stability clamp (see :func:`penalty_forces`)."""
     if tree.ncp == 0:
         return jnp.zeros((tree.nb, 6)), jnp.zeros((0, 3))
     pts, vels, depth, n = surface_contacts(tree, xw, vel, ground)
-    f_w = penalty_forces(depth, n, vels, params)
+    f_w = penalty_forces(depth, n, vels, params, dt=dt, m_eff=m_eff)
     return forces_to_fext(tree, xw, f_w, pts), f_w

@@ -137,6 +137,14 @@ class Engine:
         self.ground = ground if ground is not None else FlatGround()
         self.internal_dynamics = internal_dynamics
         self.constraints = tuple(constraints)
+        # static per-contact tangential effective mass: bounds the
+        # penalty-path friction slope (contact.penalty_forces stability
+        # clamp); build-time numpy, baked into the trace as constants
+        from jiminy_tpu.engine.contact import contact_effective_mass
+
+        self._contact_m_eff = (
+            contact_effective_mass(tree) if tree.ncp else None
+        )
         # registered external forces: impulses, profiles, couplings
         # (reference: registerImpulseForce/ProfileForce/ForceCoupling)
         self.forces = tuple(forces)
@@ -494,7 +502,8 @@ class Engine:
         )
         xw, vel = algos.kinematics(tree, q, v)
         fext, f_contact = compute_contact_fext(
-            tree, xw, vel, ground, cparams
+            tree, xw, vel, ground, cparams, dt=self.options.dt,
+            m_eff=self._contact_m_eff,
         )
         if self.forces:
             fext = fext + compute_registered_forces(
@@ -579,7 +588,8 @@ class Engine:
         f_contact_sd = jnp.zeros((tree.ncp, 3), dtype=q.dtype)
         if opts.contact_model == "spring_damper" and tree.ncp > 0:
             fext_c, f_contact_sd = compute_contact_fext(
-                tree, xw, vel, ground, cparams
+                tree, xw, vel, ground, cparams, dt=dt,
+                m_eff=self._contact_m_eff,
             )
             fext = fext_c if fext is None else fext + fext_c
 

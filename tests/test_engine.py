@@ -229,3 +229,45 @@ def test_batched_engine_step():
 
     finals = sim(states, grounds)
     np.testing.assert_allclose(finals.q[:, 2], heights + 0.1, atol=5e-3)
+
+
+class TestPenaltyFrictionStability:
+    """Explicit regularized friction must not blow up under load: a
+    PD-held ANYmal stance on the DEFAULT spring-damper path collapsed
+    (z 0.54 -> 0.08 in 0.6 s) before the per-contact effective-mass
+    slope clamp in contact.penalty_forces. Pin that it stands."""
+
+    def test_anymal_pd_stance_stands(self):
+        import jax
+        import jax.numpy as jnp
+
+        from jiminy_tpu.models import make_anymal
+        from jiminy_tpu.models.quadruped import stand_q
+        from jiminy_tpu.simulator import Simulator
+
+        robot = make_anymal()
+        tree = robot.tree
+        q0 = jnp.asarray(stand_q(tree))
+        qm0, _ = robot.motors.joint_state(q0, jnp.zeros(tree.nv))
+
+        def pd(q, v, t):
+            qm, vm = robot.motors.joint_state(q, v)
+            return 80.0 * (qm0 - qm) - 2.0 * vm
+
+        sim = Simulator(robot)  # default options: spring_damper, dt=1e-3
+        final, _ = sim.simulate(
+            1.0, q0=q0, v0=jnp.zeros(tree.nv), controller=pd
+        )
+        assert 0.45 < float(final.q[2]) < 0.6
+
+    def test_effective_mass_is_leg_inertia_not_weight(self):
+        import numpy as np
+
+        from jiminy_tpu.engine.contact import contact_effective_mass
+        from jiminy_tpu.models import make_anymal
+
+        m = contact_effective_mass(make_anymal().tree)
+        assert m.shape == (4,)
+        # reflected leg inertia at the foot: well below the ~13 kg the
+        # foot supports, well above the 0.1 kg foot link
+        assert np.all(m > 0.1) and np.all(m < 3.0)
