@@ -111,12 +111,25 @@ def play(
         if bool(st.done):
             break
     qs, fs = np.stack(qs), np.stack(fs)
+    # the env's actual ground (incl. a per-env sampled terrain) renders
+    # in the replay scene
+    ground = (
+        st.info.get("ground") if hasattr(st, "info") else None
+    ) or getattr(getattr(env, "engine", None), "ground", None)
+    robot = getattr(env, "robot", None) or env.tree
     if replay_path is not None:
-        from jiminy_tpu.viewer import replay_html
+        from jiminy_tpu.viewer3d import replay_html3d
 
-        replay_html(env.tree, qs, replay_path, forces=fs)
+        replay_html3d(
+            robot, qs, replay_path, forces=fs, ground=ground,
+            dt=getattr(env, "step_dt", None),
+        )
     if gif_path is not None:
-        from jiminy_tpu.viewer import record_gif
+        from jiminy_tpu.viewer3d import record_gif3d
 
-        record_gif(env.tree, qs, gif_path, forces=fs)
+        record_gif3d(
+            env.tree, qs, gif_path,
+            visuals=getattr(robot, "visuals", None),
+            forces=fs, ground=ground,
+        )
     return qs, np.asarray(rewards)
