@@ -69,34 +69,20 @@ def make_gym_env(env: BaseEnv, seed: int = 0):
             )
 
         def render(self):
-            """rgb_array frame: skeleton side view (matplotlib Agg) —
-            headless-host stand-in for the reference's 3-D viewer."""
-            import matplotlib
+            """rgb_array frame: shaded 3-D render of the current state
+            (viewer3d painter; reference: Viewer.capture_frame), with
+            the env's terrain in the scene."""
+            from jiminy_tpu.viewer3d import render_frame3d
 
-            matplotlib.use("Agg", force=False)
-            import matplotlib.pyplot as plt
-
-            from jiminy_tpu.core import algos
-
-            tree = self._env.tree
-            q = self._state.sim.q
-            xw = algos.forward_kinematics(tree, q)
-            pts = np.stack([np.asarray(x.pos) for x in xw])
-            fig, ax = plt.subplots(figsize=(4, 4), dpi=80)
-            for i in range(tree.nb):
-                p = tree.parent[i]
-                if p >= 0:
-                    ax.plot(
-                        [pts[p, 0], pts[i, 0]], [pts[p, 2], pts[i, 2]],
-                        "-o", color="#3377cc", markersize=2, linewidth=1.5,
-                    )
-            ax.axhline(0.0, color="#888", linewidth=0.8)
-            ax.set_aspect("equal")
-            ax.set_xlim(pts[:, 0].mean() - 1.2, pts[:, 0].mean() + 1.2)
-            ax.set_ylim(-0.2, 2.0)
-            fig.canvas.draw()
-            buf = np.asarray(fig.canvas.buffer_rgba())[..., :3].copy()
-            plt.close(fig)
-            return buf
+            env = self._env
+            robot = getattr(env, "robot", None) or env.tree
+            ground = (
+                self._state.info.get("ground")
+                or getattr(getattr(env, "engine", None), "ground", None)
+            )
+            return render_frame3d(
+                robot, np.asarray(self._state.sim.q), size=400,
+                ground=ground,
+            )
 
     return _Adapter()

@@ -446,12 +446,56 @@ def record_gif3d(
     """Render a trajectory to an animated GIF with the 3-D shaded
     renderer (reference: Viewer video recording). ``turntable_deg_per_s``
     orbits the camera during playback (the reference's moving camera)."""
-    from PIL import Image, ImageDraw
-
     data = extract_replay3d(
         tree, qs, visuals=visuals, mesh_dir=mesh_dir, forces=forces,
         ground=ground, max_frames=max_frames,
     )
+    pos = np.asarray(data["pos"])
+    center = pos.reshape(-1, 3).mean(0)
+    span = float(
+        np.max(pos.reshape(-1, 3).max(0) - pos.reshape(-1, 3).min(0))
+    )
+    dist = distance or max(1.5 * span + 1.0, 1.5)
+    imgs = [
+        _paint_frame(
+            data, fi, size=size,
+            azimuth=azimuth + turntable_deg_per_s * fi / fps,
+            elevation=elevation, distance=dist, center=center,
+            color=color,
+        )
+        for fi in range(len(pos))
+    ]
+    imgs[0].save(
+        str(path), save_all=True, append_images=imgs[1:],
+        duration=int(1000 / fps), loop=0,
+    )
+
+
+def _quat_mat(q):
+    x, y, z, w = q
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+            [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+            [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+
+
+def _paint_frame(
+    data: dict,
+    fi: int,
+    size: int = 480,
+    azimuth: float = 35.0,
+    elevation: float = 18.0,
+    distance: float | None = None,
+    center=None,
+    color=(120, 170, 230),
+):
+    """Rasterize one frame of an extract_replay3d payload → PIL Image
+    (painter's algorithm, flat shading; mirror of the HTML renderer)."""
+    from PIL import Image, ImageDraw
+
     pos = np.asarray(data["pos"])
     quat = np.asarray(data["quat"])
     com = np.asarray(data["com"])
@@ -461,99 +505,111 @@ def record_gif3d(
         (g["body"], np.asarray(g["v"]), np.asarray(g["f"], np.int32))
         for g in data["geoms"]
     ]
-    center = pos.reshape(-1, 3).mean(0)
-    span = float(
-        np.max(pos.reshape(-1, 3).max(0) - pos.reshape(-1, 3).min(0))
-    )
-    dist = distance or max(1.5 * span + 1.0, 1.5)
+    if center is None:
+        center = pos.reshape(-1, 3).mean(0)
+    if distance is None:
+        span = float(
+            np.max(pos.reshape(-1, 3).max(0) - pos.reshape(-1, 3).min(0))
+        )
+        distance = max(1.5 * span + 1.0, 1.5)
     gx = np.asarray(data["ground"]["x"])
     gy = np.asarray(data["ground"]["y"])
     gz = np.asarray(data["ground"]["z"])
     f_scale = size * 1.2  # focal length in px
 
-    def quat_mat(q):
-        x, y, z, w = q
-        return np.array(
-            [
-                [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
-                [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
-                [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
-            ]
+    eye, Rc = _camera(azimuth, elevation, distance, center)
+    im = Image.new("RGB", (size, size), (24, 26, 30))
+    d = ImageDraw.Draw(im)
+
+    def project(pw):
+        pc = (pw - eye) @ Rc.T
+        zc = np.maximum(-pc[..., 2], 1e-3)
+        return (
+            size / 2 + f_scale * pc[..., 0] / zc,
+            size / 2 - f_scale * pc[..., 1] / zc,
+            zc,
         )
 
-    imgs = []
-    F = len(pos)
-    for fi in range(F):
-        az = azimuth + turntable_deg_per_s * fi / fps
-        eye, Rc = _camera(az, elevation, dist, center)
-        im = Image.new("RGB", (size, size), (24, 26, 30))
-        d = ImageDraw.Draw(im)
+    # ground wireframe
+    for i in range(0, len(gx), 2):
+        line = np.stack([np.full_like(gy, gx[i]), gy, gz[i, :]], axis=1)
+        xs, ys, _ = project(line)
+        d.line(list(zip(xs, ys)), fill=(58, 62, 68), width=1)
+    for j in range(0, len(gy), 2):
+        line = np.stack([gx, np.full_like(gx, gy[j]), gz[:, j]], axis=1)
+        xs, ys, _ = project(line)
+        d.line(list(zip(xs, ys)), fill=(58, 62, 68), width=1)
 
-        def project(pw):
-            pc = (pw - eye) @ Rc.T
-            zc = np.maximum(-pc[..., 2], 1e-3)
-            return (
-                size / 2 + f_scale * pc[..., 0] / zc,
-                size / 2 - f_scale * pc[..., 1] / zc,
-                zc,
-            )
-
-        # ground wireframe
-        for i in range(0, len(gx), 2):
-            line = np.stack(
-                [np.full_like(gy, gx[i]), gy, gz[i, :]], axis=1
-            )
-            xs, ys, _ = project(line)
-            d.line(list(zip(xs, ys)), fill=(58, 62, 68), width=1)
-        for j in range(0, len(gy), 2):
-            line = np.stack(
-                [gx, np.full_like(gx, gy[j]), gz[:, j]], axis=1
-            )
-            xs, ys, _ = project(line)
-            d.line(list(zip(xs, ys)), fill=(58, 62, 68), width=1)
-
-        # collect shaded triangles
-        tris = []
-        for body, v, fcs in meshes:
-            R = quat_mat(quat[fi][body])
-            vw = v @ R.T + pos[fi][body]
-            xs, ys, zs = project(vw)
-            p2 = np.stack([xs, ys], 1)
-            a, b, c = vw[fcs[:, 0]], vw[fcs[:, 1]], vw[fcs[:, 2]]
-            n = np.cross(b - a, c - a)
-            nn = n / np.maximum(
-                np.linalg.norm(n, axis=1, keepdims=True), 1e-12
-            )
-            # backface cull in world space against the view ray
-            view = (a + b + c) / 3 - eye
-            front = np.einsum("ij,ij->i", nn, view) < 0
-            shade = 0.35 + 0.65 * np.clip(nn @ _LIGHT, 0, 1)
-            depth = (zs[fcs[:, 0]] + zs[fcs[:, 1]] + zs[fcs[:, 2]]) / 3
-            for k in np.nonzero(front)[0]:
-                col = tuple(int(cc * shade[k]) for cc in color)
-                tris.append(
-                    (depth[k], [tuple(p2[fcs[k, 0]]), tuple(p2[fcs[k, 1]]), tuple(p2[fcs[k, 2]])], col)
+    # collect shaded triangles
+    tris = []
+    for body, v, fcs in meshes:
+        R = _quat_mat(quat[fi][body])
+        vw = v @ R.T + pos[fi][body]
+        xs, ys, zs = project(vw)
+        p2 = np.stack([xs, ys], 1)
+        a, b, c = vw[fcs[:, 0]], vw[fcs[:, 1]], vw[fcs[:, 2]]
+        n = np.cross(b - a, c - a)
+        nn = n / np.maximum(
+            np.linalg.norm(n, axis=1, keepdims=True), 1e-12
+        )
+        # backface cull in world space against the view ray
+        view = (a + b + c) / 3 - eye
+        front = np.einsum("ij,ij->i", nn, view) < 0
+        shade = 0.35 + 0.65 * np.clip(nn @ _LIGHT, 0, 1)
+        depth = (zs[fcs[:, 0]] + zs[fcs[:, 1]] + zs[fcs[:, 2]]) / 3
+        for k in np.nonzero(front)[0]:
+            col = tuple(int(cc * shade[k]) for cc in color)
+            tris.append(
+                (
+                    depth[k],
+                    [
+                        tuple(p2[fcs[k, 0]]),
+                        tuple(p2[fcs[k, 1]]),
+                        tuple(p2[fcs[k, 2]]),
+                    ],
+                    col,
                 )
-        tris.sort(key=lambda t: -t[0])
-        for _, poly, col in tris:
-            d.polygon(poly, fill=col)
+            )
+    tris.sort(key=lambda t: -t[0])
+    for _, poly, col in tris:
+        d.polygon(poly, fill=col)
 
-        # markers
-        if len(tips):
-            for k in range(cps.shape[1]):
-                x0, y0, _ = project(cps[fi][k])
-                x1, y1, _ = project(tips[fi][k])
-                d.line([(x0, y0), (x1, y1)], fill=(255, 136, 0), width=2)
-        for k in range(cps.shape[1] if cps.ndim == 3 else 0):
-            x, y, _ = project(cps[fi][k])
-            d.ellipse([x - 2, y - 2, x + 2, y + 2], fill=(255, 204, 102))
-        x, y, _ = project(com[fi])
-        d.ellipse([x - 4, y - 4, x + 4, y + 4], fill=(85, 221, 85))
-        imgs.append(im)
-    imgs[0].save(
-        str(path), save_all=True, append_images=imgs[1:],
-        duration=int(1000 / fps), loop=0,
+    # markers
+    if len(tips):
+        for k in range(cps.shape[1]):
+            x0, y0, _ = project(cps[fi][k])
+            x1, y1, _ = project(tips[fi][k])
+            d.line([(x0, y0), (x1, y1)], fill=(255, 136, 0), width=2)
+    for k in range(cps.shape[1] if cps.ndim == 3 else 0):
+        x, y, _ = project(cps[fi][k])
+        d.ellipse([x - 2, y - 2, x + 2, y + 2], fill=(255, 204, 102))
+    x, y, _ = project(com[fi])
+    d.ellipse([x - 4, y - 4, x + 4, y + 4], fill=(85, 221, 85))
+    return im
+
+
+def render_frame3d(
+    robot_or_tree,
+    q,
+    size: int = 480,
+    ground=None,
+    azimuth: float = 35.0,
+    elevation: float = 18.0,
+    distance: float | None = None,
+) -> np.ndarray:
+    """Render ONE configuration to an (H, W, 3) uint8 array — the gym
+    adapter's ``render()`` frame (reference: Viewer.capture_frame)."""
+    tree = getattr(robot_or_tree, "tree", robot_or_tree)
+    visuals = getattr(robot_or_tree, "visuals", None)
+    data = extract_replay3d(
+        tree, np.asarray(q)[None], visuals=visuals, ground=ground,
+        max_frames=1,
     )
+    im = _paint_frame(
+        data, 0, size=size, azimuth=azimuth, elevation=elevation,
+        distance=distance,
+    )
+    return np.asarray(im)
 
 
 # ---------------------------------------------------------------------------
