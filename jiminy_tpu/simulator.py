@@ -203,6 +203,35 @@ class Simulator:
 
         return jax.jit(jax.vmap(one))(q0, v0)
 
+    # ---- render / replay / plot (reference Simulator conveniences) -------
+    def render(self, q=None, **kw):
+        """Shaded 3-D frame of a configuration (default: neutral) →
+        (H, W, 3) uint8 (reference: ``Simulator.render``)."""
+        from jiminy_tpu.viewer3d import render_frame3d
+
+        q = self.tree.neutral_q() if q is None else q
+        return render_frame3d(
+            self.robot, q, ground=self.engine.ground, **kw
+        )
+
+    def replay(self, log, path: str | Path, **kw) -> None:
+        """Interactive 3-D HTML replay of a telemetry log (reference:
+        ``Simulator.replay`` / ``play_trajectories``)."""
+        from jiminy_tpu.viewer3d import replay3d_from_log
+
+        kw.setdefault("ground", self.engine.ground)
+        kw.setdefault("dt", float(self.engine.options.dt))
+        replay3d_from_log(self.robot, log, path, **kw)
+
+    def plot(self, log, path: str | Path | None = None, **kw):
+        """Grouped telemetry plots; with ``path`` exports standalone
+        HTML (reference: ``Simulator.plot``)."""
+        from jiminy_tpu.plot import export_html, plot_log
+
+        if path is not None:
+            return export_html(log, path, **kw)
+        return plot_log(log, **kw)
+
     # ---- options io --------------------------------------------------------
     def export_options(self, path: str | Path) -> None:
         """Engine options → TOML (reference: TOML options import/export)."""

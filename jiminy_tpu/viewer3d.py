@@ -376,6 +376,22 @@ def extract_replay3d(
         weight = float(np.sum(np.asarray(tree.inertia_mass))) * 9.81
         tips = np.asarray(cps) + f / max(weight, 1e-6) * 0.3
         out["force_tips"] = tips.round(4).tolist()
+    if dt is not None and len(idx) > 2:
+        # capture point marker (reference Viewer marker set): DCM from
+        # finite-difference CoM velocity over the replay samples
+        com_np = np.asarray(com, np.float64)
+        t_s = idx.astype(np.float64) * float(dt)
+        v_com = np.gradient(com_np, t_s, axis=0)
+        omega = np.sqrt(np.maximum(com_np[:, 2], 1e-3) / 9.81)
+        cp_xy = com_np[:, :2] + v_com[:, :2] * omega[:, None]
+        if ground is not None:
+            import jax.numpy as jnp
+
+            h_cp, _ = jax.jit(ground.query)(jnp.asarray(cp_xy, jnp.float32))
+            cp_z = np.asarray(h_cp, np.float64)
+        else:
+            cp_z = np.zeros(len(cp_xy))
+        out["cp"] = np.column_stack([cp_xy, cp_z]).round(4).tolist()
     # ground heightfield patch under the trajectory footprint
     lo = pos.reshape(-1, 3).min(0) - 0.5
     hi = pos.reshape(-1, 3).max(0) + 0.5
@@ -585,6 +601,10 @@ def _paint_frame(
         d.ellipse([x - 2, y - 2, x + 2, y + 2], fill=(255, 204, 102))
     x, y, _ = project(com[fi])
     d.ellipse([x - 4, y - 4, x + 4, y + 4], fill=(85, 221, 85))
+    if "cp" in data:
+        x, y, _ = project(np.asarray(data["cp"][fi]))
+        d.ellipse([x - 3, y - 3, x + 3, y + 3], outline=(221, 85, 221),
+                  width=2)
     return im
 
 
@@ -727,6 +747,11 @@ function draw(f){
  g.fillStyle='#5d5';
  const cm=project(D.com[f],B);
  g.beginPath(); g.arc(cm[0],cm[1],4,0,7); g.fill();
+ if (D.cp){
+  g.strokeStyle='#d5d'; g.lineWidth=2;
+  const cp=project(D.cp[f],B);
+  g.beginPath(); g.arc(cp[0],cp[1],3,0,7); g.stroke();
+ }
  const rtf = D.dt ? ' · sim t='+(D.frame_idx[f]*D.dt).toFixed(2)+'s' : '';
  document.getElementById('info').textContent='frame '+f+'/'+(P.length-1)+rtf;
 }

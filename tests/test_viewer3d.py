@@ -204,3 +204,41 @@ class TestReplayOutputs:
         # the robot actually rendered: scene not all background
         arr = np.asarray(im.convert("RGB"))
         assert (arr.reshape(-1, 3).max(0) > 100).any()
+
+
+class TestSimulatorConveniences:
+    """Reference-parity Simulator.render/replay/plot entry points and
+    the capture-point replay marker (SURVEY.md §2.3 Simulator row,
+    Viewer marker set)."""
+
+    def test_render_replay_plot_and_cp_marker(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from jiminy_tpu.models.quadruped import stand_q
+        from jiminy_tpu.simulator import Simulator
+
+        robot = make_anymal()
+        tree = robot.tree
+        q0 = jnp.asarray(stand_q(tree))
+        qm0, _ = robot.motors.joint_state(q0, jnp.zeros(tree.nv))
+
+        def pd(q, v, t):
+            qm, vm = robot.motors.joint_state(q, v)
+            return 80.0 * (qm0 - qm) - 2.0 * vm
+
+        sim = Simulator(robot)
+        final, log = sim.simulate(
+            0.3, q0=q0, v0=jnp.zeros(tree.nv), controller=pd
+        )
+        fr = sim.render(q0)
+        assert fr.shape == (480, 480, 3) and fr.dtype == np.uint8
+        sim.replay(log, tmp_path / "r.html")
+        sim.plot(log, tmp_path / "p.html")
+        html = (tmp_path / "r.html").read_text()
+        data = json.loads(html.split("const D = ")[1].split(";\n")[0])
+        assert "cp" in data and len(data["cp"]) == len(data["com"])
+        # quasi-static stance: capture point tracks the CoM footprint
+        cp = np.asarray(data["cp"])
+        com = np.asarray(data["com"])
+        assert float(np.max(np.abs(cp[-5:, :2] - com[-5:, :2]))) < 0.05
