@@ -182,17 +182,23 @@ def contact_effective_mass(tree: KinematicTree) -> np.ndarray:
     supported weight, is what reacts to tangential contact force."""
     import jax.numpy as jnp
 
-    q = tree.neutral_q()
-    xw, _ = algos.kinematics(tree, q, jnp.zeros(tree.nv))
-    M = np.asarray(algos.crba(tree, q), np.float64)
-    Minv = np.linalg.inv(M)
-    out = []
-    for k in range(tree.ncp):
-        b = tree.contact_body[k]
-        p = xw[b].apply(tree.contact_pos[k])
-        J = np.asarray(algos.point_jacobian(tree, xw, b, p), np.float64)
-        W = J @ Minv @ J.T
-        out.append(1.0 / max(W[0, 0], W[1, 1], 1e-9))
+    # eager build-time math: pin to the host CPU device so constructing
+    # an engine under an active TPU backend doesn't pay one tunnel
+    # round trip per op (axon quirk — see docs/tpu_performance.md)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        q = tree.neutral_q()
+        xw, _ = algos.kinematics(tree, q, jnp.zeros(tree.nv))
+        M = np.asarray(algos.crba(tree, q), np.float64)
+        Minv = np.linalg.inv(M)
+        out = []
+        for k in range(tree.ncp):
+            b = tree.contact_body[k]
+            p = xw[b].apply(tree.contact_pos[k])
+            J = np.asarray(
+                algos.point_jacobian(tree, xw, b, p), np.float64
+            )
+            W = J @ Minv @ J.T
+            out.append(1.0 / max(W[0, 0], W[1, 1], 1e-9))
     return np.asarray(out, np.float32)
 
 
