@@ -19,9 +19,18 @@ import jax
 import numpy as np
 
 
+def _solver_options(solver: str):
+    from jiminy_tpu.engine.engine import EngineOptions
+
+    return EngineOptions(
+        dt=2e-3, contact_model="constraint", pgs_iters=8,
+        constraint_solver=solver, compute_solver_residual=False,
+    )
+
+
 def make_env(name: str, max_steps: int, terrain=None, push=0.0,
              observe="state", sensor_delay=0.0, imu_noise=0.0,
-             encoder_noise=0.0, mdp="hardcoded"):
+             encoder_noise=0.0, mdp="hardcoded", solver=None):
     import jiminy_tpu.envs as E
 
     if name == "anymal":
@@ -40,7 +49,10 @@ def make_env(name: str, max_steps: int, terrain=None, push=0.0,
             **mdp_kwargs,
         )
     if name == "cassie":
-        return E.CassieEnv(sim_dt=2e-3, max_steps=max_steps, target_speed=0.4)
+        return E.CassieEnv(
+            sim_dt=2e-3, max_steps=max_steps, target_speed=0.4,
+            **({"engine_options": _solver_options(solver)} if solver else {}),
+        )
     if name == "ant":
         return E.AntEnv(max_steps=max_steps)
     if name == "spotmicro":
@@ -81,6 +93,10 @@ def main():
                     help="anymal only: hand-coded reward/termination or "
                     "the equivalent composed from the declarative "
                     "quantities/compositions layer")
+    ap.add_argument("--solver", default=None,
+                    choices=[None, "xla", "pallas", "pallas_substep"],
+                    help="cassie only: force the constraint-solver "
+                    "backend (default: engine auto-select)")
     ap.add_argument("--pipeline", default=None,
                     help="comma-separated declarative wrapper layers, "
                     "e.g. 'stack:4,normalize' (build_pipeline dogfood); "
@@ -101,7 +117,7 @@ def main():
         env = make_env(
             args.env, args.max_steps, args.terrain, args.push,
             args.observe, args.sensor_delay, args.imu_noise,
-            args.encoder_noise, args.mdp,
+            args.encoder_noise, args.mdp, args.solver,
         )
         if args.pipeline:
             from jiminy_tpu.envs.pipeline import build_pipeline
