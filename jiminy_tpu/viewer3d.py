@@ -458,25 +458,36 @@ def record_gif3d(
     distance: float | None = None,
     turntable_deg_per_s: float = 0.0,
     color=(120, 170, 230),
+    follow: bool = True,
 ) -> None:
     """Render a trajectory to an animated GIF with the 3-D shaded
     renderer (reference: Viewer video recording). ``turntable_deg_per_s``
-    orbits the camera during playback (the reference's moving camera)."""
+    orbits the camera during playback; ``follow`` keeps the camera
+    tracking the floating base (the reference's camera-follow)."""
     data = extract_replay3d(
         tree, qs, visuals=visuals, mesh_dir=mesh_dir, forces=forces,
         ground=ground, max_frames=max_frames,
     )
     pos = np.asarray(data["pos"])
-    center = pos.reshape(-1, 3).mean(0)
-    span = float(
-        np.max(pos.reshape(-1, 3).max(0) - pos.reshape(-1, 3).min(0))
-    )
-    dist = distance or max(1.5 * span + 1.0, 1.5)
+    if follow:
+        # tracking camera: frame the ROBOT (per-frame body extent), not
+        # the whole travelled path — the reference Viewer's camera-
+        # follow behavior for locomotion replays
+        robot_span = float(np.max(pos.max(1) - pos.min(1)))
+        dist = distance or max(2.2 * robot_span + 0.8, 1.5)
+        centers = pos[:, 0]
+    else:
+        center = pos.reshape(-1, 3).mean(0)
+        span = float(
+            np.max(pos.reshape(-1, 3).max(0) - pos.reshape(-1, 3).min(0))
+        )
+        dist = distance or max(1.5 * span + 1.0, 1.5)
+        centers = np.repeat(center[None], len(pos), axis=0)
     imgs = [
         _paint_frame(
             data, fi, size=size,
             azimuth=azimuth + turntable_deg_per_s * fi / fps,
-            elevation=elevation, distance=dist, center=center,
+            elevation=elevation, distance=dist, center=centers[fi],
             color=color,
         )
         for fi in range(len(pos))
@@ -651,6 +662,7 @@ button{background:#23262c;color:#dde;border:1px solid #444;border-radius:4px}
 speed <select id="spd"><option>0.25</option><option selected>1</option>
 <option>2</option><option>4</option></select>&times;
 <button id="rst">reset view</button>
+<label class="lbl"><input type="checkbox" id="flw" checked> follow</label>
 <span id="info" class="lbl"></span></p>
 <script>
 const D = __DATA__;
@@ -660,19 +672,33 @@ const L = [0.45, 0.3, 0.84];
 let allp = P.flat();
 let ctr = [0,0,0];
 for (const p of allp) for (let k=0;k<3;k++) ctr[k]+=p[k]/allp.length;
+// per-frame robot extent (for the follow camera), global extent (fixed)
+let rspan = 0.5;
+for (const fr of P){
+ let l=[1e9,1e9,1e9], h=[-1e9,-1e9,-1e9];
+ for (const p of fr) for (let k=0;k<3;k++){l[k]=Math.min(l[k],p[k]);h[k]=Math.max(h[k],p[k]);}
+ rspan = Math.max(rspan, h[0]-l[0], h[1]-l[1], h[2]-l[2]);
+}
 let lo=[1e9,1e9,1e9], hi=[-1e9,-1e9,-1e9];
 for (const p of allp) for (let k=0;k<3;k++){lo[k]=Math.min(lo[k],p[k]);hi[k]=Math.max(hi[k],p[k]);}
 const span = Math.max(hi[0]-lo[0],hi[1]-lo[1],hi[2]-lo[2],0.5);
-const cam0 = {az: 35, el: 18, dist: 1.5*span+1.0, tgt: ctr.slice()};
+const cam0 = {az: 35, el: 18, dist: 2.2*rspan+0.8, tgt: [0,0,0]};
 let cam = JSON.parse(JSON.stringify(cam0));
+let follow = true;
+function camTarget(f){
+ if (!follow) return [ctr[0]+cam.tgt[0],ctr[1]+cam.tgt[1],ctr[2]+cam.tgt[2]];
+ const b = P[f][0];
+ return [b[0]+cam.tgt[0], b[1]+cam.tgt[1], b[2]+cam.tgt[2]];
+}
 function quatMat(q){const [x,y,z,w]=q;return [
  [1-2*(y*y+z*z),2*(x*y-z*w),2*(x*z+y*w)],
  [2*(x*y+z*w),1-2*(x*x+z*z),2*(y*z-x*w)],
  [2*(x*z-y*w),2*(y*z+x*w),1-2*(x*x+y*y)]];}
-function camBasis(){
+function camBasis(fi){
+ const tgt = camTarget(fi===undefined ? +slider.value : fi);
  const az=cam.az*Math.PI/180, el=cam.el*Math.PI/180;
  const f=[Math.cos(el)*Math.cos(az),Math.cos(el)*Math.sin(az),Math.sin(el)];
- const eye=[cam.tgt[0]+cam.dist*f[0],cam.tgt[1]+cam.dist*f[1],cam.tgt[2]+cam.dist*f[2]];
+ const eye=[tgt[0]+cam.dist*f[0],tgt[1]+cam.dist*f[1],tgt[2]+cam.dist*f[2]];
  const z=f; let x=[-z[1],z[0],0];
  const n=Math.hypot(x[0],x[1])||1e-9; x=[x[0]/n,x[1]/n,0];
  const y=[z[1]*x[2]-z[2]*x[1], z[2]*x[0]-z[0]*x[2], z[0]*x[1]-z[1]*x[0]];
@@ -689,7 +715,7 @@ function project(p,B){
 }
 function draw(f){
  g.clearRect(0,0,cv.width,cv.height);
- const B=camBasis();
+ const B=camBasis(f);
  // ground wireframe
  g.strokeStyle='#3a3e44'; g.lineWidth=1; g.beginPath();
  const gx=D.ground.x, gy=D.ground.y, gz=D.ground.z;
@@ -768,6 +794,10 @@ document.getElementById('spd').onchange=()=>{
   playing=setInterval(tick,40/+document.getElementById('spd').value);}};
 document.getElementById('rst').onclick=()=>{
  cam=JSON.parse(JSON.stringify(cam0)); draw(+slider.value);};
+document.getElementById('flw').onchange=e=>{
+ follow=e.target.checked; cam.tgt=[0,0,0];
+ cam.dist=follow ? 2.2*rspan+0.8 : 1.5*span+1.0;
+ draw(+slider.value);};
 let drag=null;
 cv.onmousedown=e=>{drag=[e.clientX,e.clientY,e.shiftKey];};
 window.onmouseup=()=>{drag=null;};
