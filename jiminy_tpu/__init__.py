@@ -30,7 +30,12 @@ from jiminy_tpu.core.tree import (
     merge_trees,
 )
 from jiminy_tpu.core import algos
-from jiminy_tpu.engine.engine import Engine, EngineOptions, SimState
+from jiminy_tpu.engine.engine import (
+    Engine,
+    EngineOptions,
+    PDController,
+    SimState,
+)
 from jiminy_tpu.math import so3, spatial
 from jiminy_tpu.robot import Robot, build_robot
 from jiminy_tpu.simulator import Simulator
@@ -46,6 +51,7 @@ __all__ = [
     "spatial",
     "Engine",
     "EngineOptions",
+    "PDController",
     "SimState",
     "Robot",
     "build_robot",

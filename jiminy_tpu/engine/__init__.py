@@ -1,6 +1,11 @@
 """Simulation engine: steppers, contact models, constraints, PGS solver."""
 
-from jiminy_tpu.engine.engine import Engine, EngineOptions, SimState
+from jiminy_tpu.engine.engine import (
+    Engine,
+    EngineOptions,
+    PDController,
+    SimState,
+)
 from jiminy_tpu.engine.ground import (
     FlatGround,
     FourierGround,
@@ -12,6 +17,7 @@ from jiminy_tpu.engine.contact import ContactParams
 __all__ = [
     "Engine",
     "EngineOptions",
+    "PDController",
     "SimState",
     "FlatGround",
     "FourierGround",

@@ -111,6 +111,42 @@ class EngineOptions:
     bounds_stiffness: float = 1e4
     bounds_damping: float = 1e2
     enable_bounds: bool = True
+    # multi-substep persistence: fuse ALL n_substeps of a step() into ONE
+    # whole-substep kernel launch, (q, v, λ) VMEM-resident, actuation
+    # torque recomputed in-kernel (requires the substep kernel in scope
+    # AND a declarative torque path: PDController / direct motor command).
+    # Default off until the fused kernel is validated on TPU hardware —
+    # flip to True after trained-policy evals match across paths.
+    substep_fusion: bool = False
+
+
+class PDController:
+    """Declarative inner-loop PD controller: motor command =
+    ``kp·(target − q_motor) − kd·v_motor``, evaluated at EVERY physics
+    substep against the zero-order-hold env action (reference: the
+    gym_jiminy PDController block running between env steps,
+    SURVEY.md §2.4 "Blocks", §3.2).
+
+    Engines accept either an opaque ``(cmd, q, v, t) → u`` closure or
+    this declarative form. Only the declarative form can be baked into
+    the multi-substep Pallas kernel (a closure cannot be introspected),
+    so shipped envs should prefer it. ``kp``/``kd`` are scalars or
+    (nmotors,) arrays."""
+
+    def __init__(self, kp, kd):
+        self.kp = kp
+        self.kd = kd
+
+    def bind(self, motors) -> Callable:
+        """The equivalent plain callable for the XLA/per-substep paths."""
+        kp = jnp.asarray(self.kp)
+        kd = jnp.asarray(self.kd)
+
+        def fn(cmd, q, v, t):
+            qm, vm = motors.joint_state(q, v)
+            return kp * (cmd - qm) - kd * vm
+
+        return fn
 
 
 class Engine:
@@ -155,7 +191,15 @@ class Engine:
         # optional inner-loop controller (cmd, q, v, t) → motor command,
         # evaluated at every substep — the reference's high-frequency
         # controller running at controllerUpdatePeriod inside Engine.step
-        # with the env action as its setpoint (SURVEY.md §3.1/§3.2)
+        # with the env action as its setpoint (SURVEY.md §3.1/§3.2).
+        # A declarative PDController is bound to the motors here and kept
+        # for the multi-substep kernel's in-kernel torque path.
+        self.pd_controller = None
+        if isinstance(controller, PDController):
+            if motors is None:
+                raise ValueError("PDController requires motors")
+            self.pd_controller = controller
+            controller = controller.bind(motors)
         self.controller = controller
         self._rebuild()
 
@@ -196,6 +240,8 @@ class Engine:
             )
         self._substep_fn = None
         self._substep_fourier = False
+        self._substep_spec = None
+        self._multi_substep_fns = {}
         if self._solver_backend == "pallas_substep":
             # explicit request: unsupported configs fail loudly
             self._substep_fn = self._build_substep_kernel()
@@ -292,8 +338,10 @@ class Engine:
             dist_constraints=self.constraints,
             ground_mode="fourier" if fourier else "flat",
             n_fourier=self.ground.n_terms if fourier else 0,
+            torque=self._build_torque_spec(),
         )
         self._substep_fourier = fourier
+        self._substep_spec = spec
 
         if fourier:
             # per-env terrain: the ground's coefficient vector is a traced
@@ -352,6 +400,99 @@ class Engine:
                 and ground.n_terms == self.ground.n_terms
             )
         return ground is self.ground
+
+    def _build_torque_spec(self):
+        """TorqueSpec for the multi-substep kernel, or None when the
+        torque path has opaque user hooks (closure controller,
+        internal_dynamics) the kernel cannot bake. Motor parameters are
+        baked as build-time constants — engines are constructed with
+        concrete motor banks (per-env motor randomization would need a
+        dedicated engine)."""
+        import numpy as np
+
+        from jiminy_tpu.ops.substep_kernel import TorqueSpec
+
+        m = self.motors
+        if (
+            m is None
+            or self.internal_dynamics is not None
+            or (self.controller is not None and self.pd_controller is None)
+        ):
+            return None
+        if self.pd_controller is not None:
+            kp = np.broadcast_to(
+                np.asarray(self.pd_controller.kp, np.float64), (m.nm,)
+            )
+            kd = np.broadcast_to(
+                np.asarray(self.pd_controller.kd, np.float64), (m.nm,)
+            )
+            mode = "pd"
+        else:
+            kp = kd = None
+            mode = "direct"
+        return TorqueSpec(
+            mode, m.q_idx, m.v_idx, np.asarray(m.reduction),
+            np.asarray(m.effort_limit), np.asarray(m.velocity_limit),
+            np.asarray(m.friction_dry), np.asarray(m.friction_viscous),
+            np.asarray(m.friction_vel_eps), kp=kp, kd=kd,
+        )
+
+    def _get_multi_substep_fn(self, n_sub: int):
+        """The n_sub-substep fused kernel (one launch per env step),
+        custom_vmap'd like the single-substep kernel; built lazily per
+        substep count and cached (trace-time side effect — the build is
+        pure numpy)."""
+        fn = self._multi_substep_fns.get(n_sub)
+        if fn is not None:
+            return fn
+        from jiminy_tpu.ops.substep_kernel import (
+            substep_batched_pallas_multi,
+        )
+
+        spec = self._substep_spec
+
+        if self._substep_fourier:
+
+            @jax.custom_batching.custom_vmap
+            def multi(q, v, cmd, lam0, gc):
+                out = substep_batched_pallas_multi(
+                    spec, n_sub, q[None], v[None], cmd[None], lam0[None],
+                    gc[None],
+                )
+                return tuple(o[0] for o in out)
+
+            @multi.def_vmap
+            def _rule(axis_size, in_batched, *args):
+                args = list(args)
+                for i, (a, b) in enumerate(zip(args, in_batched)):
+                    if not b:
+                        args[i] = jnp.broadcast_to(
+                            a[None], (axis_size, *a.shape)
+                        )
+                out = substep_batched_pallas_multi(spec, n_sub, *args)
+                return out, (True,) * 7
+        else:
+
+            @jax.custom_batching.custom_vmap
+            def multi(q, v, cmd, lam0):
+                out = substep_batched_pallas_multi(
+                    spec, n_sub, q[None], v[None], cmd[None], lam0[None]
+                )
+                return tuple(o[0] for o in out)
+
+            @multi.def_vmap
+            def _rule(axis_size, in_batched, *args):
+                args = list(args)
+                for i, (a, b) in enumerate(zip(args, in_batched)):
+                    if not b:
+                        args[i] = jnp.broadcast_to(
+                            a[None], (axis_size, *a.shape)
+                        )
+                out = substep_batched_pallas_multi(spec, n_sub, *args)
+                return out, (True,) * 7
+
+        self._multi_substep_fns[n_sub] = multi
+        return multi
 
     @property
     def n_constraint_rows(self) -> int:
@@ -791,6 +932,45 @@ class Engine:
         dt = self.options.dt
         stepper = self._stepper
         tree = self.tree
+
+        # multi-substep persistence: when the whole-substep kernel is
+        # engaged AND the actuation-torque path is declarative (PD/direct
+        # motor command — no opaque hooks), all n_substeps run in ONE
+        # kernel launch with (q, v, λ) VMEM-resident and τ recomputed
+        # in-kernel between substeps (docs/tpu_performance.md headroom;
+        # the reference's per-breakpoint inner loop collapses entirely)
+        if (
+            self.options.substep_fusion
+            and self._use_impulse
+            and self._substep_fn is not None
+            and self._substep_spec.torque is not None
+            and fext_user is None
+            and contact_params is None
+            and self._kernel_ground_ok(ground)
+        ):
+            fn = self._get_multi_substep_fn(n_substeps)
+            if self._substep_fourier:
+                gc = jnp.concatenate(
+                    [ground.amp, ground.kx, ground.ky, ground.phase]
+                )
+                q, v, lam, res, fc, a, tau = fn(
+                    state.q, state.v, u, state.lam, gc
+                )
+            else:
+                q, v, lam, res, fc, a, tau = fn(
+                    state.q, state.v, u, state.lam
+                )
+            dt_ = state.q.dtype
+            return SimState(
+                t=state.t + n_substeps * dt,
+                q=q.astype(dt_),
+                v=v.astype(dt_),
+                contact_forces=(fc / dt).astype(dt_),
+                solver_residual=res.astype(dt_),
+                lam=lam.astype(dt_),
+                a=a.astype(dt_),
+                tau=tau.astype(dt_),
+            )
 
         if self._use_impulse:
 

@@ -21,7 +21,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from jiminy_tpu.engine.engine import Engine, EngineOptions, SimState
+from jiminy_tpu.engine.engine import (
+    Engine,
+    EngineOptions,
+    PDController,
+    SimState,
+)
 from jiminy_tpu.engine.ground import FlatGround
 from jiminy_tpu.envs.base import BaseEnv, EnvState
 from jiminy_tpu.math import so3
@@ -96,12 +101,6 @@ class WalkerEnv(BaseEnv):
         self._stand_targets, _ = motors.joint_state(
             self._q_stand, jnp.zeros(robot.tree.nv)
         )
-        kp_, kd_ = kp, kd
-
-        def pd_controller(cmd, q, v, t):
-            qm, vm = motors.joint_state(q, v)
-            return kp_ * (cmd - qm) - kd_ * vm
-
         opts = engine_options or EngineOptions(
             dt=sim_dt,
             contact_model="constraint",
@@ -114,7 +113,9 @@ class WalkerEnv(BaseEnv):
             opts,
             ground=ground if ground is not None else FlatGround(),
             motors=motors,
-            controller=pd_controller,
+            # declarative PD so the engine can bake it into the
+            # multi-substep kernel (an opaque closure cannot be)
+            controller=PDController(kp, kd),
             constraints=constraints,
         )
         # sensor-driven observation path: the policy sees delayed/biased/

@@ -187,7 +187,8 @@ class SubstepSpec:
     def __init__(self, tree: KinematicTree, opts, solve_cfg: SolveConfig,
                  bounded_joints, color_order, ground_height: float,
                  friction: float, dist_constraints=(),
-                 ground_mode: str = "flat", n_fourier: int = 0):
+                 ground_mode: str = "flat", n_fourier: int = 0,
+                 torque: "TorqueSpec | None" = None):
         f = lambda a: np.asarray(a, np.float64)
         self.nb = tree.nb
         self.nq, self.nv = tree.nq, tree.nv
@@ -245,6 +246,90 @@ class SubstepSpec:
             )
             for c in dist_constraints
         ]
+        # optional in-kernel actuation-torque path (multi-substep kernel)
+        self.torque = torque
+
+
+class TorqueSpec:
+    """Static description of the per-substep actuation-torque path
+    (inner-loop PD + motor model + joint damping/springs) so the
+    multi-substep kernel can recompute τ(q, v, cmd) IN-KERNEL between
+    substeps — engine._joint_torque mirrored lane-major (reference call
+    stack SURVEY.md §3.1: controller → motor model → internal dynamics).
+
+    mode "pd":     cmd is the (nm,) PD target;
+                   u_m = kp·(cmd − q[q_idx]) − kd·v[v_idx].
+    mode "direct": cmd IS the (nm,) motor command (zero-order hold);
+                   friction / velocity-derate still re-evaluate per
+                   substep at the current joint velocity."""
+
+    def __init__(self, mode, q_idx, v_idx, reduction, effort_limit,
+                 velocity_limit, friction_dry, friction_viscous,
+                 friction_vel_eps, kp=None, kd=None):
+        if mode not in ("pd", "direct"):
+            raise ValueError(f"unknown torque mode {mode!r}")
+        if mode == "pd" and (kp is None or kd is None):
+            raise ValueError("pd mode requires kp and kd")
+        ff = lambda a: [float(x) for x in np.asarray(a)]
+        self.mode = mode
+        self.q_idx = [int(i) for i in q_idx]
+        self.v_idx = [int(i) for i in v_idx]
+        self.reduction = ff(reduction)
+        self.effort_limit = ff(effort_limit)
+        self.velocity_limit = ff(velocity_limit)
+        self.friction_dry = ff(friction_dry)
+        self.friction_viscous = ff(friction_viscous)
+        self.friction_vel_eps = ff(friction_vel_eps)
+        self.kp = ff(kp) if kp is not None else None
+        self.kd = ff(kd) if kd is not None else None
+
+    @property
+    def nm(self) -> int:
+        return len(self.v_idx)
+
+
+def _compute_tau(spec: SubstepSpec, q, v, cmd):
+    """engine._joint_torque in lane-major form: PD / direct motor command
+    → effort clamp → reduction → velocity derate → − friction, then
+    joint damping and 1-DoF joint springs (hardware/motors.py
+    compute_effort + engine._spring_torques; FREE joints and spherical
+    flexibility are outside the kernel's joint scope). Returns a list of
+    nv lane values."""
+    ts = spec.torque
+    zero = jnp.zeros_like(q[0])
+    tau = [zero] * spec.nv
+    for m in range(ts.nm):
+        vi = ts.v_idx[m]
+        v_j = v[vi]
+        if ts.mode == "pd":
+            u = ts.kp[m] * (cmd[m] - q[ts.q_idx[m]]) - ts.kd[m] * v_j
+        else:
+            u = cmd[m]
+        el = ts.effort_limit[m]
+        u = jnp.clip(u, -el, el)
+        tau_m = ts.reduction[m] * u
+        vl = ts.velocity_limit[m]
+        over = jnp.clip(
+            (jnp.abs(v_j) - vl) / (0.1 * max(vl, 1e-6)), 0.0, 1.0
+        )
+        same_dir = jnp.sign(tau_m) == jnp.sign(v_j)
+        tau_m = jnp.where(same_dir, tau_m * (1.0 - over), tau_m)
+        fric = ts.friction_dry[m] * jnp.tanh(
+            v_j / ts.friction_vel_eps[m]
+        ) + ts.friction_viscous[m] * v_j
+        tau[vi] = tau[vi] + tau_m - fric
+    for r in range(spec.nv):
+        d = float(spec.damping[r])
+        if d:
+            tau[r] = tau[r] - d * v[r]
+    for i in range(spec.nb):
+        if spec.joint_type[i] == int(JointType.FREE):
+            continue
+        vo, qo = spec.v_off[i], spec.q_off[i]
+        k = float(spec.stiffness[vo])
+        if k:
+            tau[vo] = tau[vo] - k * q[qo]
+    return tau
 
 
 def _lane(x, like):
@@ -259,25 +344,21 @@ def _lane(x, like):
 # ---------------------------------------------------------------------------
 
 
-def _substep_body(spec: SubstepSpec, refs):
-    use_fourier = spec.ground_mode == "fourier"
-    if use_fourier:
-        (q_ref, v_ref, tau_ref, lam0_ref, gc_ref,
-         qn_ref, vn_ref, lam_ref, res_ref, fc_ref,
-         T_ref, L_ref, X_ref, A_ref) = refs
-    else:
-        (q_ref, v_ref, tau_ref, lam0_ref,
-         qn_ref, vn_ref, lam_ref, res_ref, fc_ref,
-         T_ref, L_ref, X_ref, A_ref) = refs
+def _substep_math(spec: SubstepSpec, q, v, tau, lam0, gc,
+                  T_ref, L_ref, X_ref, A_ref):
+    """One substep on lane-major VALUES: q (nq) / v, tau (nv) lists of
+    (S,128) lane vectors, lam0 (nc,S,128), gc = None | (amp, kx, ky,
+    phase) lane lists for Fourier ground. The scratch refs are destroyed.
+    Returns (q_next list, v_next (nv,S,128), λ (nc,S,128), residual
+    (S,128), f_contact (3·ncp,S,128) | None). Shared by the
+    single-substep body and the multi-substep fori_loop body."""
+    use_fourier = gc is not None
     nb, nv, nq, ncp = spec.nb, spec.nv, spec.nq, spec.ncp
     cfg = spec.cfg
     dt = float(cfg.dt)
     opts = spec.opts
     JT = JointType
 
-    q = [q_ref[i, 0] for i in range(nq)]
-    v = [v_ref[i, 0] for i in range(nv)]
-    tau = [tau_ref[i, 0] for i in range(nv)]
     zero = jnp.zeros_like(q[0])
     one = jnp.ones_like(q[0])
 
@@ -490,10 +571,7 @@ def _substep_body(spec: SubstepSpec, refs):
 
     if use_fourier:
         K = spec.n_fourier
-        g_amp = [gc_ref[j, 0] for j in range(K)]
-        g_kx = [gc_ref[K + j, 0] for j in range(K)]
-        g_ky = [gc_ref[2 * K + j, 0] for j in range(K)]
-        g_ph = [gc_ref[3 * K + j, 0] for j in range(K)]
+        g_amp, g_kx, g_ky, g_ph = gc
 
         def fourier_query(px, py):
             """h(x,y) and the height gradient as fused lane math."""
@@ -646,7 +724,6 @@ def _substep_body(spec: SubstepSpec, refs):
     tgt = jnp.stack(target)
     mu = jnp.stack(mu_row)
     act = jnp.stack(active)
-    lam0 = lam0_ref[:, 0]
 
     v_next, lam_out, res = _solve_chain(
         cfg, pv, vv, Jt, tgt, mu, act, lam0, T_ref, L_ref, X_ref, A_ref
@@ -674,9 +751,9 @@ def _substep_body(spec: SubstepSpec, refs):
                 fc_rows[3 * k + 0] = l2
                 fc_rows[3 * k + 1] = -l1
                 fc_rows[3 * k + 2] = l3
-        fc_ref[:, 0] = jnp.stack(fc_rows)
+        fc = jnp.stack(fc_rows)
     else:
-        fc_ref[0, 0] = zero
+        fc = None
 
     # ---- integrate (algos.integrate, euler_symplectic) ------------------
     q_next = list(q)
@@ -711,10 +788,47 @@ def _substep_body(spec: SubstepSpec, refs):
         else:
             q_next[qo] = q[qo] + vn[vo] * dt
 
+    return q_next, v_next, lam_out, res, fc
+
+
+def _unpack_gc(spec: SubstepSpec, gc_ref):
+    """Fourier-ground coefficient block → (amp, kx, ky, phase) lane
+    lists."""
+    K = spec.n_fourier
+    return (
+        [gc_ref[j, 0] for j in range(K)],
+        [gc_ref[K + j, 0] for j in range(K)],
+        [gc_ref[2 * K + j, 0] for j in range(K)],
+        [gc_ref[3 * K + j, 0] for j in range(K)],
+    )
+
+
+def _substep_body(spec: SubstepSpec, refs):
+    """Single-substep kernel body: refs → _substep_math → refs."""
+    if spec.ground_mode == "fourier":
+        (q_ref, v_ref, tau_ref, lam0_ref, gc_ref,
+         qn_ref, vn_ref, lam_ref, res_ref, fc_ref,
+         T_ref, L_ref, X_ref, A_ref) = refs
+        gc = _unpack_gc(spec, gc_ref)
+    else:
+        (q_ref, v_ref, tau_ref, lam0_ref,
+         qn_ref, vn_ref, lam_ref, res_ref, fc_ref,
+         T_ref, L_ref, X_ref, A_ref) = refs
+        gc = None
+    q = [q_ref[i, 0] for i in range(spec.nq)]
+    v = [v_ref[i, 0] for i in range(spec.nv)]
+    tau = [tau_ref[i, 0] for i in range(spec.nv)]
+    q_next, v_next, lam_out, res, fc = _substep_math(
+        spec, q, v, tau, lam0_ref[:, 0], gc, T_ref, L_ref, X_ref, A_ref
+    )
     qn_ref[:, 0] = jnp.stack(q_next)
     vn_ref[:, 0] = v_next
     lam_ref[:, 0] = lam_out
     res_ref[0, 0] = res
+    if fc is not None:
+        fc_ref[:, 0] = fc
+    else:
+        fc_ref[0, 0] = jnp.zeros_like(q[0])
 
 
 # ---------------------------------------------------------------------------
@@ -814,3 +928,162 @@ def substep_batched_pallas(spec: SubstepSpec, q, v, tau, lam0, gcoef=None,
         else jnp.zeros((B, 0, 3), f32)
     )
     return back(qn), back(vn), back(lam), back(res)[:, 0], f_contact
+
+
+# ---------------------------------------------------------------------------
+# Multi-substep persistence: N substeps in ONE kernel launch
+# ---------------------------------------------------------------------------
+
+
+def _substep_multi_body(spec: SubstepSpec, n_sub: int, refs):
+    """``n_sub`` chained substeps in one launch: (q, v, λ) stay
+    VMEM-resident in a ``fori_loop`` carry and τ is recomputed from the
+    zero-order-hold command between substeps via ``spec.torque`` — this
+    removes both the per-substep launch overhead and the XLA torque
+    cloud between launches (docs/tpu_performance.md "multi-substep
+    persistence" headroom). Extra outputs (a, τ) are the LAST substep's
+    accepted acceleration and applied torque (SimState.a/tau — the
+    sensor suite's inputs)."""
+    if spec.ground_mode == "fourier":
+        (q_ref, v_ref, cmd_ref, lam0_ref, gc_ref,
+         qn_ref, vn_ref, lam_ref, res_ref, fc_ref, a_ref, tauo_ref,
+         T_ref, L_ref, X_ref, A_ref) = refs
+        gc = _unpack_gc(spec, gc_ref)
+    else:
+        (q_ref, v_ref, cmd_ref, lam0_ref,
+         qn_ref, vn_ref, lam_ref, res_ref, fc_ref, a_ref, tauo_ref,
+         T_ref, L_ref, X_ref, A_ref) = refs
+        gc = None
+    nq, nv = spec.nq, spec.nv
+    inv_dt = 1.0 / float(spec.cfg.dt)
+    cmd = [cmd_ref[m, 0] for m in range(spec.torque.nm)]
+
+    def body(_, carry):
+        qs, vs, lams = carry
+        q = [qs[i] for i in range(nq)]
+        v = [vs[i] for i in range(nv)]
+        tau = _compute_tau(spec, q, v, cmd)
+        q_next, v_next, lam_out, res, fc = _substep_math(
+            spec, q, v, tau, lams, gc, T_ref, L_ref, X_ref, A_ref
+        )
+        # per-iteration output writes: the LAST substep's values survive
+        res_ref[0, 0] = res
+        if fc is not None:
+            fc_ref[:, 0] = fc
+        else:
+            fc_ref[0, 0] = jnp.zeros_like(qs[0])
+        a_ref[:, 0] = (v_next - vs) * inv_dt
+        tauo_ref[:, 0] = jnp.stack(tau)
+        return jnp.stack(q_next), v_next, lam_out
+
+    qs, vs, lams = jax.lax.fori_loop(
+        0, n_sub, body, (q_ref[:, 0], v_ref[:, 0], lam0_ref[:, 0])
+    )
+    qn_ref[:, 0] = qs
+    vn_ref[:, 0] = vs
+    lam_ref[:, 0] = lams
+
+
+def substep_batched_pallas_multi(spec: SubstepSpec, n_sub: int, q, v,
+                                 cmd, lam0, gcoef=None, interpret=None):
+    """Batched ``n_sub``-substep advance in one kernel launch: q (B,nq),
+    v (B,nv), cmd (B,nm) motor command / PD target (zero-order hold),
+    lam0 (B,nc) [+ gcoef (B,4K) Fourier coefficients] → (q⁺, v⁺, λ,
+    residual, f_contact (B,ncp,3) impulses, a (B,nv), τ (B,nv)) — the
+    last two are the final substep's accepted acceleration and applied
+    torque. Requires ``spec.torque`` (the in-kernel actuation path)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if spec.torque is None:
+        raise ValueError("multi-substep kernel requires spec.torque")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    use_fourier = spec.ground_mode == "fourier"
+    if use_fourier != (gcoef is not None):
+        raise ValueError("gcoef required iff ground_mode == 'fourier'")
+    n, nc, nq, ncp = spec.nv, spec.cfg.nc, spec.nq, spec.ncp
+    nm = spec.torque.nm
+    nfc = max(3 * ncp, 1)
+    B = q.shape[0]
+    S = _pick_sublanes(n, nc)
+    tile = S * LANES
+    Bp = -(-B // tile) * tile
+    G = Bp // tile
+    pad = Bp - B
+    f32 = jnp.float32
+    if pad:
+        qpad = jnp.tile(q[:1].astype(f32), (pad, 1))
+        q = jnp.concatenate([q.astype(f32), qpad], axis=0)
+        zn = jnp.zeros((pad, n), f32)
+        v = jnp.concatenate([v.astype(f32), zn], axis=0)
+        cmd = jnp.concatenate(
+            [cmd.astype(f32), jnp.tile(cmd[:1].astype(f32), (pad, 1))],
+            axis=0,
+        )
+        lam0 = jnp.concatenate(
+            [lam0.astype(f32), jnp.zeros((pad, nc), f32)], axis=0
+        )
+        if use_fourier:
+            gpad = jnp.tile(gcoef[:1].astype(f32), (pad, 1))
+            gcoef = jnp.concatenate([gcoef.astype(f32), gpad], axis=0)
+
+    inputs = [
+        _to_lane_major(q.astype(f32), 0, G, S),
+        _to_lane_major(v.astype(f32), 0, G, S),
+        _to_lane_major(cmd.astype(f32), 0, G, S),
+        _to_lane_major(lam0.astype(f32), 0, G, S),
+    ]
+
+    def mk_spec(*lead):
+        block = (*lead, 1, S, LANES)
+        zeros = (0,) * len(lead)
+        return pl.BlockSpec(
+            block,
+            lambda g, _z=zeros: (*_z, g, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    in_specs = [mk_spec(nq), mk_spec(n), mk_spec(nm), mk_spec(nc)]
+    if use_fourier:
+        inputs.append(_to_lane_major(gcoef.astype(f32), 0, G, S))
+        in_specs.append(mk_spec(4 * spec.n_fourier))
+
+    out_shape = (
+        jax.ShapeDtypeStruct((nq, G, S, LANES), f32),
+        jax.ShapeDtypeStruct((n, G, S, LANES), f32),
+        jax.ShapeDtypeStruct((nc, G, S, LANES), f32),
+        jax.ShapeDtypeStruct((1, G, S, LANES), f32),
+        jax.ShapeDtypeStruct((nfc, G, S, LANES), f32),
+        jax.ShapeDtypeStruct((n, G, S, LANES), f32),
+        jax.ShapeDtypeStruct((n, G, S, LANES), f32),
+    )
+    qn, vn, lam, res, fc, acc, tau = pl.pallas_call(
+        lambda *refs: _substep_multi_body(spec, n_sub, refs),
+        grid=(G,),
+        in_specs=in_specs,
+        out_specs=(mk_spec(nq), mk_spec(n), mk_spec(nc), mk_spec(1),
+                   mk_spec(nfc), mk_spec(n), mk_spec(n)),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((n, n, S, LANES), f32),
+            pltpu.VMEM((n, n, S, LANES), f32),
+            pltpu.VMEM((n, nc + 1, S, LANES), f32),
+            pltpu.VMEM((nc, nc, S, LANES), f32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(*inputs)
+
+    def back(x):
+        d = x.shape[0]
+        return x.reshape(d, Bp).T[:B]
+
+    f_contact = (
+        back(fc).reshape(B, ncp, 3) if ncp
+        else jnp.zeros((B, 0, 3), f32)
+    )
+    return (back(qn), back(vn), back(lam), back(res)[:, 0], f_contact,
+            back(acc), back(tau))
