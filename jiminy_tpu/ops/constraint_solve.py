@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Sequence
 
 import jax
@@ -43,7 +44,13 @@ LANES = 128
 # Mosaic stack estimate budget. The kernel raises the scoped-vmem cap to
 # 100 MB (v5e has 128 MB physical VMEM); the estimator under-counts
 # Mosaic's imperfect stack-slot reuse by ~2.5×, hence the low threshold.
-_VMEM_BUDGET = 36 * 1024 * 1024
+# Overridable for on-device lane-utilization experiments: at 36 MB the
+# Atlas-size problem (n=29, nc=47) picks S=4; ~70 MB would admit S=8
+# (2× the per-instruction VPU rows) IF the real footprint fits — verify
+# on hardware before changing the default.
+_VMEM_BUDGET = int(
+    os.environ.get("JIMINY_TPU_VMEM_BUDGET", 36 * 1024 * 1024)
+)
 
 
 @dataclasses.dataclass(frozen=True)
