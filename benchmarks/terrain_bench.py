@@ -54,6 +54,7 @@ def main() -> None:
 
         envs = {
             "fourier_substep_kernel": ANYmalEnv(terrain="fourier"),
+            "stairs_substep_kernel": ANYmalEnv(terrain="stairs"),
             "perlin_chain_kernel": ANYmalEnv(terrain="perlin"),
         }
     results = {}
@@ -66,6 +67,9 @@ def main() -> None:
                 "metric": "rough_terrain_env_steps_per_sec_b%d" % B,
                 "fourier_substep_kernel": round(
                     results["fourier_substep_kernel"]
+                ),
+                "stairs_substep_kernel": round(
+                    results["stairs_substep_kernel"]
                 ),
                 "perlin_chain_kernel": round(results["perlin_chain_kernel"]),
                 "speedup": round(

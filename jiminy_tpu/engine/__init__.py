@@ -10,6 +10,7 @@ from jiminy_tpu.engine.ground import (
     FlatGround,
     FourierGround,
     HeightmapGround,
+    StairsGround,
     sample_fourier_ground,
 )
 from jiminy_tpu.engine.contact import ContactParams
@@ -23,5 +24,6 @@ __all__ = [
     "FourierGround",
     "sample_fourier_ground",
     "HeightmapGround",
+    "StairsGround",
     "ContactParams",
 ]

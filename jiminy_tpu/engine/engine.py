@@ -240,6 +240,7 @@ class Engine:
             )
         self._substep_fn = None
         self._substep_fourier = False
+        self._substep_gmode = "flat"
         self._substep_spec = None
         self._multi_substep_fns = {}
         if self._solver_backend == "pallas_substep":
@@ -269,7 +270,11 @@ class Engine:
         """Whole-substep Pallas kernel (ops/substep_kernel.py): validates
         the engine config is inside the kernel's scope and returns a
         custom_vmap'd (q, v, tau, lam0) → (q⁺, v⁺, λ, residual)."""
-        from jiminy_tpu.engine.ground import FlatGround, FourierGround
+        from jiminy_tpu.engine.ground import (
+            FlatGround,
+            FourierGround,
+            StairsGround,
+        )
         from jiminy_tpu.ops.constraint_solve import SolveConfig
         from jiminy_tpu.ops.substep_kernel import (
             SubstepSpec,
@@ -284,8 +289,12 @@ class Engine:
             bad.append("stepper must be euler_symplectic")
         if opts.contact_model != "constraint":
             bad.append("contact_model must be 'constraint'")
-        if not isinstance(self.ground, (FlatGround, FourierGround)):
-            bad.append("ground must be FlatGround or FourierGround")
+        if not isinstance(
+            self.ground, (FlatGround, FourierGround, StairsGround)
+        ):
+            bad.append(
+                "ground must be FlatGround, FourierGround or StairsGround"
+            )
         if self.forces:
             bad.append("registered forces unsupported")
         if any(
@@ -331,19 +340,22 @@ class Engine:
             compute_residual=opts.compute_solver_residual,
         )
         fourier = isinstance(self.ground, FourierGround)
+        stairs = isinstance(self.ground, StairsGround)
+        gmode = "fourier" if fourier else "stairs" if stairs else "flat"
         spec = SubstepSpec(
             tree, opts, cfg, bj, color_order,
-            0.0 if fourier else float(self.ground.height),
+            float(self.ground.height) if gmode == "flat" else 0.0,
             float(opts.contacts.friction),
             dist_constraints=self.constraints,
-            ground_mode="fourier" if fourier else "flat",
+            ground_mode=gmode,
             n_fourier=self.ground.n_terms if fourier else 0,
             torque=self._build_torque_spec(),
         )
-        self._substep_fourier = fourier
+        self._substep_gmode = gmode
+        self._substep_fourier = fourier  # kept for tests/back-compat
         self._substep_spec = spec
 
-        if fourier:
+        if spec.n_gc:
             # per-env terrain: the ground's coefficient vector is a traced
             # argument (vmapped callers pass per-env coefficients —
             # reference: random ground per reset, SURVEY.md §2.4)
@@ -393,13 +405,32 @@ class Engine:
         terrains (vmapped pytree leaves) stay on the fast path."""
         from jiminy_tpu.engine.ground import FourierGround
 
-        if self._substep_fourier:
+        if self._substep_gmode == "fourier":
             return (
                 isinstance(ground, FourierGround)
                 and ground.amp.ndim == 1
                 and ground.n_terms == self.ground.n_terms
             )
+        if self._substep_gmode == "stairs":
+            from jiminy_tpu.engine.ground import StairsGround
+
+            return (
+                isinstance(ground, StairsGround)
+                and ground.step_width.ndim == 0
+            )
         return ground is self.ground
+
+    def _ground_coef(self, ground) -> jax.Array:
+        """Per-env ground-coefficient vector for the kernel's gc input
+        (mirrors ops/substep_kernel._ground_query's layout)."""
+        if self._substep_gmode == "fourier":
+            return jnp.concatenate(
+                [ground.amp, ground.kx, ground.ky, ground.phase]
+            )
+        return jnp.stack(
+            [ground.step_width, ground.step_height, ground.n_steps,
+             ground.ramp, ground.x0]
+        )
 
     def _build_torque_spec(self):
         """TorqueSpec for the multi-substep kernel, or None when the
@@ -451,7 +482,7 @@ class Engine:
 
         spec = self._substep_spec
 
-        if self._substep_fourier:
+        if spec.n_gc:
 
             @jax.custom_batching.custom_vmap
             def multi(q, v, cmd, lam0, gc):
@@ -700,10 +731,8 @@ class Engine:
                 if lam0 is not None
                 else jnp.zeros(self.n_constraint_rows, dtype=q.dtype)
             )
-            if self._substep_fourier:
-                gc = jnp.concatenate(
-                    [ground.amp, ground.kx, ground.ky, ground.phase]
-                )
+            if self._substep_gmode != "flat":
+                gc = self._ground_coef(ground)
                 q2, v2, lam, res, fc = self._substep_fn(q, v, tau, lam_w, gc)
             else:
                 q2, v2, lam, res, fc = self._substep_fn(q, v, tau, lam_w)
@@ -949,12 +978,10 @@ class Engine:
             and self._kernel_ground_ok(ground)
         ):
             fn = self._get_multi_substep_fn(n_substeps)
-            if self._substep_fourier:
-                gc = jnp.concatenate(
-                    [ground.amp, ground.kx, ground.ky, ground.phase]
-                )
+            if self._substep_gmode != "flat":
                 q, v, lam, res, fc, a, tau = fn(
-                    state.q, state.v, u, state.lam, gc
+                    state.q, state.v, u, state.lam,
+                    self._ground_coef(ground),
                 )
             else:
                 q, v, lam, res, fc, a, tau = fn(

@@ -111,6 +111,54 @@ def sample_fourier_ground(
     )
 
 
+class StairsGround(struct.PyTreeNode):
+    """Analytic staircase rising along +x: ``h(x, y) = step_height ·
+    clip(k + clip((u − k·w)/ramp, 0, 1), 0, n_steps)`` with
+    ``u = x − x0``, ``k = floor(u/w)`` — each riser is a linear ramp of
+    width ``ramp`` (the analytic twin of the reference's discretized
+    stairs heightmap, whose risers are one grid cell wide;
+    SURVEY.md §2.1 "Random / terrain" stairs generator).
+
+    TPU-first alternative to ``terrain.stairs_ground`` (a grid
+    ``HeightmapGround``) for the HOT path: height and gradient are pure
+    vector math (floor/clip — no gather), so the query runs *inside*
+    the whole-substep Pallas kernel exactly like ``FourierGround``.
+    Parameters are pytree leaves — vmapped callers randomize stair
+    geometry per env."""
+
+    step_width: jax.Array  # ()
+    step_height: jax.Array  # ()
+    n_steps: jax.Array  # () float — top-step clamp
+    ramp: jax.Array  # () riser ramp width (> 0)
+    x0: jax.Array  # () x of the first riser's base
+
+    @staticmethod
+    def create(step_width=0.4, step_height=0.08, n_steps=10, ramp=0.05,
+               x0=0.0) -> "StairsGround":
+        f = jnp.float32
+        return StairsGround(
+            step_width=f(step_width), step_height=f(step_height),
+            n_steps=f(n_steps), ramp=f(ramp), x0=f(x0),
+        )
+
+    def query(self, xy: jax.Array) -> tuple[jax.Array, jax.Array]:
+        u = xy[..., 0] - self.x0
+        k = jnp.floor(u / self.step_width)
+        t = (u - k * self.step_width) / self.ramp
+        tc = jnp.clip(t, 0.0, 1.0)
+        s = jnp.clip(k + tc, 0.0, self.n_steps)
+        h = self.step_height * s
+        inner = (
+            (t > 0.0) & (t < 1.0) & (k + tc > 0.0) & (k + tc < self.n_steps)
+        )
+        dzdx = jnp.where(inner, self.step_height / self.ramp, 0.0)
+        n = jnp.stack(
+            [-dzdx, jnp.zeros_like(h), jnp.ones_like(h)], axis=-1
+        )
+        n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+        return h, n
+
+
 class HeightmapGround(struct.PyTreeNode):
     """Grid heightmap with bilinear interpolation and analytic normals.
 

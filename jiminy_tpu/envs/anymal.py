@@ -39,9 +39,10 @@ class ANYmalEnv(WalkerEnv):
         target_speed: float = 0.8,
         pgs_iters: int = 8,
         reset_noise: float = 0.1,
-        # None/"flat" | "perlin" | "stairs" (shared heightmap, chain
-        # kernel) | "fourier" (PER-ENV random rough ground resampled each
-        # episode, rides the whole-substep kernel)
+        # None/"flat" | "perlin" (shared heightmap, chain kernel) |
+        # "stairs" (analytic StairsGround, whole-substep kernel) |
+        # "fourier" (PER-ENV random rough ground resampled each episode,
+        # whole-substep kernel)
         terrain: str | None = None,
         terrain_seed: int = 0,
         terrain_amplitude: float = 0.08,
@@ -79,10 +80,15 @@ class ANYmalEnv(WalkerEnv):
             )
             spawn_radius = 4.0
         elif terrain == "stairs":
-            from jiminy_tpu.engine.terrain import stairs_ground
+            # analytic staircase (floor/clip lane math) — rides the
+            # whole-substep kernel like "fourier"; the grid-heightmap
+            # stairs (engine.terrain.stairs_ground) remain available via
+            # an explicit `ground=` for parity with the reference's
+            # discretized generator
+            from jiminy_tpu.engine.ground import StairsGround
 
-            ground = stairs_ground(
-                step_width=0.4, step_height=0.08, n_steps=10, size=8.0
+            ground = StairsGround.create(
+                step_width=0.4, step_height=0.08, n_steps=10, ramp=0.05
             )
         self._build_mirror_spec = None  # lazy
         super().__init__(

@@ -14,10 +14,14 @@ one; this kernel removes the remaining per-substep launch cloud
 (kinematics/CRBA/RNEA are ~60 more small XLA ops each).
 
 Scope (gated in the engine; anything else falls back to the per-op
-paths): euler_symplectic stepper, constraint contact model, FLAT ground,
-FREE/REVOLUTE/PRISMATIC joints only, no user kinematic constraints, no
-external forces. Joint torque (controller + motor model + springs) is
-computed outside — it is user code and a handful of vector ops.
+paths): euler_symplectic stepper, constraint contact model, flat /
+Fourier / analytic-stairs ground (per-env coefficients as a traced
+input), FREE/REVOLUTE/PRISMATIC joints, DistanceConstraint closed
+loops, no external forces. Joint torque (controller + motor model +
+springs) is computed outside for the single-substep kernel; the
+multi-substep kernel (substep_batched_pallas_multi) recomputes it
+IN-KERNEL from a declarative TorqueSpec and runs all n_substeps of an
+env step in one launch (engine gate: EngineOptions.substep_fusion).
 
 Math is mirrored 1:1 from core/algos.py (kinematics/crba/rnea/
 point_jacobian/integrate) and engine/engine.py's row assembly; validated
@@ -226,10 +230,12 @@ class SubstepSpec:
         # "fourier": FourierGround — height/normal evaluated IN-KERNEL as
         # K sin/cos terms from a per-env coefficient vector input (pure
         # vector math; grid heightmaps would need dynamic gathers, which
-        # Mosaic lowers poorly). Reference: ground profile queried by the
-        # contact pipeline (SURVEY.md §2.1 "Contact model" / "Random /
-        # terrain").
-        if ground_mode not in ("flat", "fourier"):
+        # Mosaic lowers poorly).
+        # "stairs": StairsGround — analytic staircase from a 5-float
+        # per-env parameter vector (floor/clip lane math, no gather).
+        # Reference: ground profile queried by the contact pipeline
+        # (SURVEY.md §2.1 "Contact model" / "Random / terrain").
+        if ground_mode not in ("flat", "fourier", "stairs"):
             raise ValueError(f"unknown ground_mode {ground_mode!r}")
         self.ground_mode = ground_mode
         self.n_fourier = int(n_fourier)
@@ -248,6 +254,15 @@ class SubstepSpec:
         ]
         # optional in-kernel actuation-torque path (multi-substep kernel)
         self.torque = torque
+
+    @property
+    def n_gc(self) -> int:
+        """Width of the per-env ground-coefficient input (0 = flat)."""
+        if self.ground_mode == "fourier":
+            return 4 * self.n_fourier
+        if self.ground_mode == "stairs":
+            return 5
+        return 0
 
 
 class TorqueSpec:
@@ -344,15 +359,16 @@ def _lane(x, like):
 # ---------------------------------------------------------------------------
 
 
-def _substep_math(spec: SubstepSpec, q, v, tau, lam0, gc,
+def _substep_math(spec: SubstepSpec, q, v, tau, lam0, gq,
                   T_ref, L_ref, X_ref, A_ref):
     """One substep on lane-major VALUES: q (nq) / v, tau (nv) lists of
-    (S,128) lane vectors, lam0 (nc,S,128), gc = None | (amp, kx, ky,
-    phase) lane lists for Fourier ground. The scratch refs are destroyed.
-    Returns (q_next list, v_next (nv,S,128), λ (nc,S,128), residual
-    (S,128), f_contact (3·ncp,S,128) | None). Shared by the
-    single-substep body and the multi-substep fori_loop body."""
-    use_fourier = gc is not None
+    (S,128) lane vectors, lam0 (nc,S,128), gq = None (flat ground) | a
+    ``(px, py) → (h, dz/dx, dz/dy)`` lane closure (Fourier / stairs —
+    see _ground_query). The scratch refs are destroyed. Returns
+    (q_next list, v_next (nv,S,128), λ (nc,S,128), residual (S,128),
+    f_contact (3·ncp,S,128) | None). Shared by the single-substep body
+    and the multi-substep fori_loop body."""
+    use_general = gq is not None
     nb, nv, nq, ncp = spec.nb, spec.nv, spec.nq, spec.ncp
     cfg = spec.cfg
     dt = float(cfg.dt)
@@ -569,29 +585,14 @@ def _substep_math(spec: SubstepSpec, q, v, tau, lam0, gc,
         pl = [float(x) for x in spec.contact_pos[k]]
         centers.append(v_add(m_vec(xw[b][0], pl), xw[b][1]))
 
-    if use_fourier:
-        K = spec.n_fourier
-        g_amp, g_kx, g_ky, g_ph = gc
-
-        def fourier_query(px, py):
-            """h(x,y) and the height gradient as fused lane math."""
-            h, gx, gy = lane(spec.ground_height), zero, zero
-            for j in range(K):
-                arg = g_kx[j] * px + g_ky[j] * py + g_ph[j]
-                s, c = jnp.sin(arg), jnp.cos(arg)
-                h = h + g_amp[j] * s
-                gx = gx + g_amp[j] * g_kx[j] * c
-                gy = gy + g_amp[j] * g_ky[j] * c
-            return h, gx, gy
-
     pts = []
     for k in range(ncp):
         c = centers[k]
         r_k = spec.contact_radius[k]
         if r_k == 0.0:
             pts.append(c)
-        elif use_fourier:
-            _, gx, gy = fourier_query(c[0], c[1])
+        elif use_general:
+            _, gx, gy = gq(c[0], c[1])
             inv = jax.lax.rsqrt(gx * gx + gy * gy + 1.0)
             n1 = [-gx * inv, -gy * inv, inv]
             pts.append([c[r] - r_k * n1[r] for r in range(3)])
@@ -601,14 +602,14 @@ def _substep_math(spec: SubstepSpec, q, v, tau, lam0, gc,
 
     # ground query: depth + contact basis (t1, t2, n) per point.
     # flat: n=(0,0,1) ⇒ tangent_basis gives t1=(0,−1,0), t2=(1,0,0);
-    # fourier: h/∇h from the per-env coefficient vector (K fused sin/cos
-    # lane ops, no gather), basis mirroring cstr.tangent_basis exactly.
+    # fourier/stairs: h/∇h as fused lane math (no gather), basis
+    # mirroring cstr.tangent_basis exactly.
     depth = []
     basis = []  # per point: (t1, t2, n) — python floats for flat
-    if use_fourier:
+    if use_general:
         for k in range(ncp):
             px, py, pz = pts[k]
-            h, gx, gy = fourier_query(px, py)
+            h, gx, gy = gq(px, py)
             inv = jax.lax.rsqrt(gx * gx + gy * gy + 1.0)
             nk = [-gx * inv, -gy * inv, inv]
             # cstr.tangent_basis: ref = e_z when |n_z| < 0.9 else e_x
@@ -682,7 +683,7 @@ def _substep_math(spec: SubstepSpec, q, v, tau, lam0, gc,
         active.append(one)
     for k in spec.color_order:
         Jk = Jp[k]
-        if use_fourier:
+        if use_general:
             t1, t2, nk = basis[k]
             for d in (t1, t2, nk):
                 rows_J.append(
@@ -740,7 +741,7 @@ def _substep_math(spec: SubstepSpec, q, v, tau, lam0, gc,
             l1 = lam_out[c_off + 3 * j]
             l2 = lam_out[c_off + 3 * j + 1]
             l3 = lam_out[c_off + 3 * j + 2]
-            if use_fourier:
+            if use_general:
                 t1, t2, nk = basis[k]
                 for r in range(3):
                     fc_rows[3 * k + r] = (
@@ -791,35 +792,67 @@ def _substep_math(spec: SubstepSpec, q, v, tau, lam0, gc,
     return q_next, v_next, lam_out, res, fc
 
 
-def _unpack_gc(spec: SubstepSpec, gc_ref):
-    """Fourier-ground coefficient block → (amp, kx, ky, phase) lane
-    lists."""
-    K = spec.n_fourier
-    return (
-        [gc_ref[j, 0] for j in range(K)],
-        [gc_ref[K + j, 0] for j in range(K)],
-        [gc_ref[2 * K + j, 0] for j in range(K)],
-        [gc_ref[3 * K + j, 0] for j in range(K)],
-    )
+def _ground_query(spec: SubstepSpec, gc_ref):
+    """Per-env ground-coefficient block → ``(px, py) → (h, ∂h/∂x,
+    ∂h/∂y)`` lane closure, mirroring the corresponding Ground.query
+    (engine/ground.py) exactly. None for flat ground."""
+    if spec.ground_mode == "flat":
+        return None
+    if spec.ground_mode == "fourier":
+        K = spec.n_fourier
+        g_amp = [gc_ref[j, 0] for j in range(K)]
+        g_kx = [gc_ref[K + j, 0] for j in range(K)]
+        g_ky = [gc_ref[2 * K + j, 0] for j in range(K)]
+        g_ph = [gc_ref[3 * K + j, 0] for j in range(K)]
+        h0 = float(spec.ground_height)
+
+        def gq(px, py):
+            h = jnp.full_like(px, jnp.float32(h0))
+            gx = jnp.zeros_like(px)
+            gy = jnp.zeros_like(px)
+            for j in range(K):
+                arg = g_kx[j] * px + g_ky[j] * py + g_ph[j]
+                s, c = jnp.sin(arg), jnp.cos(arg)
+                h = h + g_amp[j] * s
+                gx = gx + g_amp[j] * g_kx[j] * c
+                gy = gy + g_amp[j] * g_ky[j] * c
+            return h, gx, gy
+
+        return gq
+    # stairs: [step_width, step_height, n_steps, ramp, x0]
+    w, H, n, ramp, x0 = (gc_ref[j, 0] for j in range(5))
+
+    def gq(px, py):
+        u = px - x0
+        k = jnp.floor(u / w)
+        t = (u - k * w) / ramp
+        tc = jnp.clip(t, 0.0, 1.0)
+        s = jnp.clip(k + tc, 0.0, n)
+        h = H * s
+        inner = (t > 0.0) & (t < 1.0) & (k + tc > 0.0) & (k + tc < n)
+        gx = jnp.where(inner, H / ramp, 0.0)
+        return h, gx, jnp.zeros_like(px)
+
+    return gq
 
 
 def _substep_body(spec: SubstepSpec, refs):
     """Single-substep kernel body: refs → _substep_math → refs."""
-    if spec.ground_mode == "fourier":
+    if spec.n_gc:
         (q_ref, v_ref, tau_ref, lam0_ref, gc_ref,
          qn_ref, vn_ref, lam_ref, res_ref, fc_ref,
          T_ref, L_ref, X_ref, A_ref) = refs
-        gc = _unpack_gc(spec, gc_ref)
+        gq = _ground_query(spec, gc_ref)
     else:
         (q_ref, v_ref, tau_ref, lam0_ref,
          qn_ref, vn_ref, lam_ref, res_ref, fc_ref,
          T_ref, L_ref, X_ref, A_ref) = refs
-        gc = None
+        gq = None
     q = [q_ref[i, 0] for i in range(spec.nq)]
     v = [v_ref[i, 0] for i in range(spec.nv)]
     tau = [tau_ref[i, 0] for i in range(spec.nv)]
     q_next, v_next, lam_out, res, fc = _substep_math(
-        spec, q, v, tau, lam0_ref[:, 0], gc, T_ref, L_ref, X_ref, A_ref
+        spec, q, v, tau, lam0_ref[:, 0], gq, T_ref, L_ref, X_ref, A_ref
     )
     qn_ref[:, 0] = jnp.stack(q_next)
     vn_ref[:, 0] = v_next
@@ -847,9 +880,10 @@ def substep_batched_pallas(spec: SubstepSpec, q, v, tau, lam0, gcoef=None,
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    use_fourier = spec.ground_mode == "fourier"
-    if use_fourier != (gcoef is not None):
-        raise ValueError("gcoef required iff ground_mode == 'fourier'")
+    use_gc = spec.n_gc > 0
+    if use_gc != (gcoef is not None):
+        raise ValueError("gcoef required iff the ground has per-env "
+                         "coefficients (fourier/stairs)")
     n, nc, nq, ncp = spec.nv, spec.cfg.nc, spec.nq, spec.ncp
     nfc = max(3 * ncp, 1)
     B = q.shape[0]
@@ -869,7 +903,7 @@ def substep_batched_pallas(spec: SubstepSpec, q, v, tau, lam0, gcoef=None,
         lam0 = jnp.concatenate(
             [lam0.astype(f32), jnp.zeros((pad, nc), f32)], axis=0
         )
-        if use_fourier:
+        if use_gc:
             gpad = jnp.tile(gcoef[:1].astype(f32), (pad, 1))
             gcoef = jnp.concatenate([gcoef.astype(f32), gpad], axis=0)
 
@@ -889,9 +923,9 @@ def substep_batched_pallas(spec: SubstepSpec, q, v, tau, lam0, gcoef=None,
         )
 
     in_specs = [mk_spec(nq), mk_spec(n), mk_spec(n), mk_spec(nc)]
-    if use_fourier:
+    if use_gc:
         inputs.append(_to_lane_major(gcoef.astype(f32), 0, G, S))
-        in_specs.append(mk_spec(4 * spec.n_fourier))
+        in_specs.append(mk_spec(spec.n_gc))
 
     out_shape = (
         jax.ShapeDtypeStruct((nq, G, S, LANES), f32),
@@ -944,16 +978,16 @@ def _substep_multi_body(spec: SubstepSpec, n_sub: int, refs):
     persistence" headroom). Extra outputs (a, τ) are the LAST substep's
     accepted acceleration and applied torque (SimState.a/tau — the
     sensor suite's inputs)."""
-    if spec.ground_mode == "fourier":
+    if spec.n_gc:
         (q_ref, v_ref, cmd_ref, lam0_ref, gc_ref,
          qn_ref, vn_ref, lam_ref, res_ref, fc_ref, a_ref, tauo_ref,
          T_ref, L_ref, X_ref, A_ref) = refs
-        gc = _unpack_gc(spec, gc_ref)
+        gq = _ground_query(spec, gc_ref)
     else:
         (q_ref, v_ref, cmd_ref, lam0_ref,
          qn_ref, vn_ref, lam_ref, res_ref, fc_ref, a_ref, tauo_ref,
          T_ref, L_ref, X_ref, A_ref) = refs
-        gc = None
+        gq = None
     nq, nv = spec.nq, spec.nv
     inv_dt = 1.0 / float(spec.cfg.dt)
     cmd = [cmd_ref[m, 0] for m in range(spec.torque.nm)]
@@ -964,7 +998,7 @@ def _substep_multi_body(spec: SubstepSpec, n_sub: int, refs):
         v = [vs[i] for i in range(nv)]
         tau = _compute_tau(spec, q, v, cmd)
         q_next, v_next, lam_out, res, fc = _substep_math(
-            spec, q, v, tau, lams, gc, T_ref, L_ref, X_ref, A_ref
+            spec, q, v, tau, lams, gq, T_ref, L_ref, X_ref, A_ref
         )
         # per-iteration output writes: the LAST substep's values survive
         res_ref[0, 0] = res
@@ -999,9 +1033,10 @@ def substep_batched_pallas_multi(spec: SubstepSpec, n_sub: int, q, v,
         raise ValueError("multi-substep kernel requires spec.torque")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    use_fourier = spec.ground_mode == "fourier"
-    if use_fourier != (gcoef is not None):
-        raise ValueError("gcoef required iff ground_mode == 'fourier'")
+    use_gc = spec.n_gc > 0
+    if use_gc != (gcoef is not None):
+        raise ValueError("gcoef required iff the ground has per-env "
+                         "coefficients (fourier/stairs)")
     n, nc, nq, ncp = spec.nv, spec.cfg.nc, spec.nq, spec.ncp
     nm = spec.torque.nm
     nfc = max(3 * ncp, 1)
@@ -1024,7 +1059,7 @@ def substep_batched_pallas_multi(spec: SubstepSpec, n_sub: int, q, v,
         lam0 = jnp.concatenate(
             [lam0.astype(f32), jnp.zeros((pad, nc), f32)], axis=0
         )
-        if use_fourier:
+        if use_gc:
             gpad = jnp.tile(gcoef[:1].astype(f32), (pad, 1))
             gcoef = jnp.concatenate([gcoef.astype(f32), gpad], axis=0)
 
@@ -1045,9 +1080,9 @@ def substep_batched_pallas_multi(spec: SubstepSpec, n_sub: int, q, v,
         )
 
     in_specs = [mk_spec(nq), mk_spec(n), mk_spec(nm), mk_spec(nc)]
-    if use_fourier:
+    if use_gc:
         inputs.append(_to_lane_major(gcoef.astype(f32), 0, G, S))
-        in_specs.append(mk_spec(4 * spec.n_fourier))
+        in_specs.append(mk_spec(spec.n_gc))
 
     out_shape = (
         jax.ShapeDtypeStruct((nq, G, S, LANES), f32),

@@ -160,6 +160,76 @@ class TestSubstepKernel:
         # different terrains must actually produce different motion
         assert float(jnp.max(jnp.abs(out.v[0] - out.v[1]))) > 1e-5
 
+    def test_anymal_stairs_ground_matches_xla(self):
+        """Analytic StairsGround evaluated IN-KERNEL (floor/clip lane
+        math, riser-ramp gradient) vs the XLA path's ground.query —
+        stairs training on the whole-substep kernel (VERDICT r1 #4
+        'Perlin/stairs' clause)."""
+        from jiminy_tpu.engine.ground import StairsGround
+        from jiminy_tpu.models.quadruped import make_anymal, stand_q
+
+        robot = make_anymal()
+        tree = robot.tree
+        sg = StairsGround.create(
+            step_width=0.4, step_height=0.08, n_steps=10, ramp=0.05
+        )
+        # straddle a riser so the staircase actually shapes the contacts
+        q0 = jnp.asarray(stand_q(tree))
+        q0 = q0.at[0].set(0.35).at[2].set(q0[2] + 0.08)
+        engines = _engines(
+            tree, motors=robot.motors, ground=sg, dt=5e-3, pgs_iters=8
+        )
+        assert engines["pallas_substep"]._substep_gmode == "stairs"
+        outs = _compare(
+            tree, engines, q0, jnp.zeros(robot.nmotors), n_substeps=2,
+            atol_q=2e-4, atol_v=2e-2,
+        )
+        assert float(jnp.max(jnp.abs(outs["xla"].contact_forces))) > 1.0
+
+    def test_stairs_per_env_geometry_batch(self):
+        """Stair parameters are pytree leaves: vmapping over (state,
+        ground) randomizes stair geometry per env on the fast path."""
+        from jiminy_tpu.engine.ground import StairsGround
+        from jiminy_tpu.models.quadruped import make_anymal, stand_q
+
+        robot = make_anymal()
+        tree = robot.tree
+        template = StairsGround.create()
+        eng = Engine(
+            tree,
+            EngineOptions(
+                contact_model="constraint",
+                constraint_solver="pallas_substep",
+                dt=5e-3,
+                pgs_iters=8,
+            ),
+            motors=robot.motors,
+            ground=template,
+        )
+        B = 3
+        heights = jnp.asarray([0.04, 0.08, 0.12])
+        grounds = jax.vmap(
+            lambda h: StairsGround.create(step_height=h)
+        )(heights)
+        q0 = jnp.asarray(stand_q(tree))
+        q0 = q0.at[0].set(0.35).at[2].set(q0[2] + 0.12)
+        states = jax.vmap(lambda q: eng.reset(q=q))(jnp.tile(q0, (B, 1)))
+        u = jnp.zeros((B, robot.nmotors))
+        step = jax.jit(
+            jax.vmap(
+                lambda s, uu, g: eng.step(s, uu, n_substeps=3, ground=g)
+            )
+        )
+        out = step(states, u, grounds)
+        g0 = jax.tree.map(lambda x: x[0], grounds)
+        solo = eng.step(
+            jax.tree.map(lambda x: x[0], states), u[0], n_substeps=3,
+            ground=g0,
+        )
+        np.testing.assert_allclose(out.q[0], solo.q, atol=1e-5)
+        # different stair heights must produce different motion
+        assert float(jnp.max(jnp.abs(out.v[0] - out.v[2]))) > 1e-5
+
     def test_gating_rejects_unsupported(self):
         """Configs outside the kernel's scope fail loudly at build."""
         import pytest
