@@ -350,6 +350,9 @@ class Engine:
             ground_mode=gmode,
             n_fourier=self.ground.n_terms if fourier else 0,
             torque=self._build_torque_spec(),
+            # wrench input is always on: zero-cost when fed zeros, and it
+            # keeps push-disturbance training (base_wrench) on this path
+            base_wrench=True,
         )
         self._substep_gmode = gmode
         self._substep_fourier = fourier  # kept for tests/back-compat
@@ -360,15 +363,16 @@ class Engine:
             # argument (vmapped callers pass per-env coefficients —
             # reference: random ground per reset, SURVEY.md §2.4)
             @jax.custom_batching.custom_vmap
-            def substep(q, v, tau, lam0, gc):
+            def substep(q, v, tau, lam0, gc, w0):
                 out = substep_batched_pallas(
-                    spec, q[None], v[None], tau[None], lam0[None], gc[None]
+                    spec, q[None], v[None], tau[None], lam0[None],
+                    gc[None], w0[None],
                 )
                 return tuple(o[0] for o in out)
 
             @substep.def_vmap
-            def _rule(axis_size, in_batched, q, v, tau, lam0, gc):
-                args = [q, v, tau, lam0, gc]
+            def _rule(axis_size, in_batched, *args):
+                args = list(args)
                 for i, (a, b) in enumerate(zip(args, in_batched)):
                     if not b:
                         args[i] = jnp.broadcast_to(
@@ -378,21 +382,23 @@ class Engine:
                 return out, (True,) * 5
         else:
             @jax.custom_batching.custom_vmap
-            def substep(q, v, tau, lam0):
+            def substep(q, v, tau, lam0, w0):
                 out = substep_batched_pallas(
-                    spec, q[None], v[None], tau[None], lam0[None]
+                    spec, q[None], v[None], tau[None], lam0[None],
+                    wrench=w0[None],
                 )
                 return tuple(o[0] for o in out)
 
             @substep.def_vmap
-            def _rule(axis_size, in_batched, q, v, tau, lam0):
-                args = [q, v, tau, lam0]
+            def _rule(axis_size, in_batched, *args):
+                args = list(args)
                 for i, (a, b) in enumerate(zip(args, in_batched)):
                     if not b:
                         args[i] = jnp.broadcast_to(
                             a[None], (axis_size, *a.shape)
                         )
-                out = substep_batched_pallas(spec, *args)
+                *rest, w0 = args
+                out = substep_batched_pallas(spec, *rest, wrench=w0)
                 return out, (True,) * 5
 
         return substep
@@ -485,10 +491,10 @@ class Engine:
         if spec.n_gc:
 
             @jax.custom_batching.custom_vmap
-            def multi(q, v, cmd, lam0, gc):
+            def multi(q, v, cmd, lam0, gc, w0):
                 out = substep_batched_pallas_multi(
                     spec, n_sub, q[None], v[None], cmd[None], lam0[None],
-                    gc[None],
+                    gc[None], w0[None],
                 )
                 return tuple(o[0] for o in out)
 
@@ -505,9 +511,10 @@ class Engine:
         else:
 
             @jax.custom_batching.custom_vmap
-            def multi(q, v, cmd, lam0):
+            def multi(q, v, cmd, lam0, w0):
                 out = substep_batched_pallas_multi(
-                    spec, n_sub, q[None], v[None], cmd[None], lam0[None]
+                    spec, n_sub, q[None], v[None], cmd[None], lam0[None],
+                    wrench=w0[None],
                 )
                 return tuple(o[0] for o in out)
 
@@ -519,7 +526,10 @@ class Engine:
                         args[i] = jnp.broadcast_to(
                             a[None], (axis_size, *a.shape)
                         )
-                out = substep_batched_pallas_multi(spec, n_sub, *args)
+                *rest, w0 = args
+                out = substep_batched_pallas_multi(
+                    spec, n_sub, *rest, wrench=w0
+                )
                 return out, (True,) * 7
 
         self._multi_substep_fns[n_sub] = multi
@@ -703,6 +713,7 @@ class Engine:
         fext_user: jax.Array | None,
         lam0: jax.Array | None = None,
         contact_params=None,
+        base_wrench: jax.Array | None = None,
     ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
         """One semi-implicit Euler substep with velocity-level PGS impulses
         for kinematic constraints and (if contact_model == "constraint")
@@ -731,11 +742,20 @@ class Engine:
                 if lam0 is not None
                 else jnp.zeros(self.n_constraint_rows, dtype=q.dtype)
             )
+            w0 = (
+                base_wrench
+                if base_wrench is not None
+                else jnp.zeros(6, dtype=q.dtype)
+            )
             if self._substep_gmode != "flat":
                 gc = self._ground_coef(ground)
-                q2, v2, lam, res, fc = self._substep_fn(q, v, tau, lam_w, gc)
+                q2, v2, lam, res, fc = self._substep_fn(
+                    q, v, tau, lam_w, gc, w0
+                )
             else:
-                q2, v2, lam, res, fc = self._substep_fn(q, v, tau, lam_w)
+                q2, v2, lam, res, fc = self._substep_fn(
+                    q, v, tau, lam_w, w0
+                )
             return q2, v2, fc / dt, res, lam, (v2 - v) / dt, tau
 
         # per-env contact-parameter override (domain randomization: the
@@ -743,6 +763,9 @@ class Engine:
         # per-env friction/stiffness — reference: model randomization
         # hooks, SURVEY.md §2.1 "Model")
         cparams = contact_params if contact_params is not None else opts.contacts
+        if base_wrench is not None:
+            bw = jnp.zeros((tree.nb, 6), q.dtype).at[0].set(base_wrench)
+            fext_user = bw if fext_user is None else fext_user + bw
         # joint transforms computed once and shared by kinematics/CRBA/RNEA
         xl = algos._local_transforms(tree, q)
         xw, vel = algos.kinematics(tree, q, v, xl=xl)
@@ -952,11 +975,17 @@ class Engine:
         ground=None,
         fext_user: jax.Array | None = None,
         contact_params=None,
+        base_wrench: jax.Array | None = None,
     ) -> SimState:
         """Advance by ``n_substeps × options.dt`` with zero-order-hold
         command ``u`` (nv,). Pure; jit/vmap-able. ``contact_params``
         optionally overrides the engine's ContactParams — pass batched
-        per-env values under vmap for domain randomization."""
+        per-env values under vmap for domain randomization.
+        ``base_wrench`` is an optional (6,) LOCAL [ang; lin] spatial
+        wrench on the root body held over the step (push disturbances —
+        reference: registerImpulseForce on the base). Unlike the generic
+        ``fext_user`` (nb, 6), it stays on the whole-substep kernel
+        paths."""
         ground = ground if ground is not None else self.ground
         dt = self.options.dt
         stepper = self._stepper
@@ -978,14 +1007,19 @@ class Engine:
             and self._kernel_ground_ok(ground)
         ):
             fn = self._get_multi_substep_fn(n_substeps)
+            w0 = (
+                base_wrench
+                if base_wrench is not None
+                else jnp.zeros(6, dtype=state.q.dtype)
+            )
             if self._substep_gmode != "flat":
                 q, v, lam, res, fc, a, tau = fn(
                     state.q, state.v, u, state.lam,
-                    self._ground_coef(ground),
+                    self._ground_coef(ground), w0,
                 )
             else:
                 q, v, lam, res, fc, a, tau = fn(
-                    state.q, state.v, u, state.lam
+                    state.q, state.v, u, state.lam, w0
                 )
             dt_ = state.q.dtype
             return SimState(
@@ -1010,6 +1044,7 @@ class Engine:
                     for x in self._impulse_substep(
                         q, v, t, u, ground, fext_user, lam0=lam,
                         contact_params=contact_params,
+                        base_wrench=base_wrench,
                     )
                 )
                 return (q, v, t + dt, f_c, res, lam, a, tau), None
@@ -1038,6 +1073,11 @@ class Engine:
             contact_params if contact_params is not None
             else self.options.contacts
         )
+        if base_wrench is not None:
+            bw = jnp.zeros((tree.nb, 6), state.q.dtype).at[0].set(
+                base_wrench
+            )
+            fext_user = bw if fext_user is None else fext_user + bw
 
         def dyn(q, v, t):
             a, _ = self.dynamics(

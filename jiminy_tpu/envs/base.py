@@ -150,7 +150,15 @@ class BaseEnv:
     def _external_forces(self, state: "EnvState") -> jax.Array | None:
         """Optional (nb, 6) local spatial wrenches applied during the next
         step — the hook for push disturbances / force profiles (reference:
-        external forces & WalkerJiminyEnv pushes, SURVEY.md §2.1/§2.4)."""
+        external forces & WalkerJiminyEnv pushes, SURVEY.md §2.1/§2.4).
+        Generic (any body) but falls off the whole-substep kernel; for
+        base-only pushes prefer :meth:`_base_wrench`."""
+        return None
+
+    def _base_wrench(self, state: "EnvState") -> jax.Array | None:
+        """Optional (6,) LOCAL [ang; lin] spatial wrench on the root body
+        held over the step — the push-disturbance hook that STAYS on the
+        whole-substep kernel paths (Engine.step base_wrench input)."""
         return None
 
     def _update_info(self, prev: "EnvState", nxt_sim: SimState, rng) -> dict:
@@ -210,12 +218,13 @@ class BaseEnv:
         rng, k_obs, k_info, k_sens = jax.random.split(state.rng, 4)
         u = self._action_to_command(action, state.sim)
         fext = self._external_forces(state)
+        bw = self._base_wrench(state)
         gnd = self._step_ground(state.info)
         sensor_info = {}
         if self.sensors is None:
             sim = self.engine.step(
                 state.sim, u, n_substeps=self.n_substeps, fext_user=fext,
-                ground=gnd,
+                ground=gnd, base_wrench=bw,
             )
         else:
             # sensor updates at their own period INSIDE the env step —
@@ -227,7 +236,7 @@ class BaseEnv:
             for i in range(self.n_obs_updates):
                 sim = self.engine.step(
                     sim, u, n_substeps=self.n_substeps_per_obs,
-                    fext_user=fext, ground=gnd,
+                    fext_user=fext, ground=gnd, base_wrench=bw,
                 )
                 k_sens, k_u = jax.random.split(k_sens)
                 bufs = self.sensors.update(

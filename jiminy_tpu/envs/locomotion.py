@@ -215,16 +215,16 @@ class WalkerEnv(BaseEnv):
             ),
         }
 
-    def _external_forces(self, state: EnvState):
+    def _base_wrench(self, state: EnvState):
         if self.push_magnitude <= 0.0:
             return None
-        tree = self.tree
         active = state.info["push_steps_left"] > 0
         f_world = jnp.where(active, 1.0, 0.0) * state.info["push_force"]
-        # world force at the base origin → local wrench on body 0
+        # world force at the base origin → local wrench on body 0; rides
+        # the whole-substep kernel (Engine.step base_wrench input), so
+        # push-robustness training keeps the fast path
         R = so3.quat_to_matrix(state.sim.q[3:7])
-        fext = jnp.zeros((tree.nb, 6))
-        return fext.at[0, 3:].set(R.T @ f_world)
+        return jnp.concatenate([jnp.zeros(3), R.T @ f_world])
 
     # ---- MDP ---------------------------------------------------------------
     def _base_frames(self, sim: SimState):

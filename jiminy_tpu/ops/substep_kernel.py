@@ -192,7 +192,8 @@ class SubstepSpec:
                  bounded_joints, color_order, ground_height: float,
                  friction: float, dist_constraints=(),
                  ground_mode: str = "flat", n_fourier: int = 0,
-                 torque: "TorqueSpec | None" = None):
+                 torque: "TorqueSpec | None" = None,
+                 base_wrench: bool = False):
         f = lambda a: np.asarray(a, np.float64)
         self.nb = tree.nb
         self.nq, self.nv = tree.nq, tree.nv
@@ -254,6 +255,11 @@ class SubstepSpec:
         ]
         # optional in-kernel actuation-torque path (multi-substep kernel)
         self.torque = torque
+        # accept a (6,) [ang; lin] LOCAL spatial wrench on the root body
+        # as a traced input (push disturbances — the reference's
+        # external-force registry applied to the base; zero-cost when
+        # fed zeros, so engines enable it unconditionally)
+        self.base_wrench = bool(base_wrench)
 
     @property
     def n_gc(self) -> int:
@@ -360,14 +366,16 @@ def _lane(x, like):
 
 
 def _substep_math(spec: SubstepSpec, q, v, tau, lam0, gq,
-                  T_ref, L_ref, X_ref, A_ref):
+                  T_ref, L_ref, X_ref, A_ref, w0=None):
     """One substep on lane-major VALUES: q (nq) / v, tau (nv) lists of
     (S,128) lane vectors, lam0 (nc,S,128), gq = None (flat ground) | a
     ``(px, py) → (h, dz/dx, dz/dy)`` lane closure (Fourier / stairs —
-    see _ground_query). The scratch refs are destroyed. Returns
-    (q_next list, v_next (nv,S,128), λ (nc,S,128), residual (S,128),
-    f_contact (3·ncp,S,128) | None). Shared by the single-substep body
-    and the multi-substep fori_loop body."""
+    see _ground_query), w0 = None | 6 lanes of a LOCAL [ang; lin]
+    spatial wrench on the root body (push disturbances). The scratch
+    refs are destroyed. Returns (q_next list, v_next (nv,S,128),
+    λ (nc,S,128), residual (S,128), f_contact (3·ncp,S,128) | None).
+    Shared by the single-substep body and the multi-substep fori_loop
+    body."""
     use_general = gq is not None
     nb, nv, nq, ncp = spec.nb, spec.nv, spec.nq, spec.ncp
     cfg = spec.cfg
@@ -464,6 +472,10 @@ def _substep_math(spec: SubstepSpec, q, v, tau, lam0, gq,
         va, vl = inertia_mul_motion(m_i, h_i, I_i, *vel[i])
         ca, cl = force_cross6(*vel[i], va, vl)
         fb.append((v_add(fa, ca), v_add(fl, cl)))
+
+    if w0 is not None:
+        # external wrench on the root body: f[0] -= fext[0] (algos.rnea)
+        fb[0] = (v_sub(fb[0][0], w0[:3]), v_sub(fb[0][1], w0[3:]))
 
     bias = [None] * nv
     for i in range(nb - 1, -1, -1):
@@ -838,21 +850,22 @@ def _ground_query(spec: SubstepSpec, gc_ref):
 
 def _substep_body(spec: SubstepSpec, refs):
     """Single-substep kernel body: refs → _substep_math → refs."""
-    if spec.n_gc:
-        (q_ref, v_ref, tau_ref, lam0_ref, gc_ref,
-         qn_ref, vn_ref, lam_ref, res_ref, fc_ref,
-         T_ref, L_ref, X_ref, A_ref) = refs
-        gq = _ground_query(spec, gc_ref)
-    else:
-        (q_ref, v_ref, tau_ref, lam0_ref,
-         qn_ref, vn_ref, lam_ref, res_ref, fc_ref,
-         T_ref, L_ref, X_ref, A_ref) = refs
-        gq = None
+    refs = list(refs)
+    q_ref, v_ref, tau_ref, lam0_ref = refs[:4]
+    del refs[:4]
+    gq = _ground_query(spec, refs.pop(0)) if spec.n_gc else None
+    w0 = None
+    if spec.base_wrench:
+        w_ref = refs.pop(0)
+        w0 = [w_ref[j, 0] for j in range(6)]
+    (qn_ref, vn_ref, lam_ref, res_ref, fc_ref,
+     T_ref, L_ref, X_ref, A_ref) = refs
     q = [q_ref[i, 0] for i in range(spec.nq)]
     v = [v_ref[i, 0] for i in range(spec.nv)]
     tau = [tau_ref[i, 0] for i in range(spec.nv)]
     q_next, v_next, lam_out, res, fc = _substep_math(
-        spec, q, v, tau, lam0_ref[:, 0], gq, T_ref, L_ref, X_ref, A_ref
+        spec, q, v, tau, lam0_ref[:, 0], gq, T_ref, L_ref, X_ref, A_ref,
+        w0=w0,
     )
     qn_ref[:, 0] = jnp.stack(q_next)
     vn_ref[:, 0] = v_next
@@ -870,7 +883,7 @@ def _substep_body(spec: SubstepSpec, refs):
 
 
 def substep_batched_pallas(spec: SubstepSpec, q, v, tau, lam0, gcoef=None,
-                           interpret=None):
+                           wrench=None, interpret=None):
     """Batched whole substep: q (B,nq), v/tau (B,nv), lam0 (B,nc)
     [+ gcoef (B,4K) Fourier-ground coefficients when
     spec.ground_mode == "fourier": amp ‖ kx ‖ ky ‖ phase] →
@@ -884,6 +897,8 @@ def substep_batched_pallas(spec: SubstepSpec, q, v, tau, lam0, gcoef=None,
     if use_gc != (gcoef is not None):
         raise ValueError("gcoef required iff the ground has per-env "
                          "coefficients (fourier/stairs)")
+    if spec.base_wrench != (wrench is not None):
+        raise ValueError("wrench (B,6) required iff spec.base_wrench")
     n, nc, nq, ncp = spec.nv, spec.cfg.nc, spec.nq, spec.ncp
     nfc = max(3 * ncp, 1)
     B = q.shape[0]
@@ -906,6 +921,10 @@ def substep_batched_pallas(spec: SubstepSpec, q, v, tau, lam0, gcoef=None,
         if use_gc:
             gpad = jnp.tile(gcoef[:1].astype(f32), (pad, 1))
             gcoef = jnp.concatenate([gcoef.astype(f32), gpad], axis=0)
+        if wrench is not None:
+            wrench = jnp.concatenate(
+                [wrench.astype(f32), jnp.zeros((pad, 6), f32)], axis=0
+            )
 
     qb = _to_lane_major(q.astype(f32), 0, G, S)
     vb = _to_lane_major(v.astype(f32), 0, G, S)
@@ -926,6 +945,9 @@ def substep_batched_pallas(spec: SubstepSpec, q, v, tau, lam0, gcoef=None,
     if use_gc:
         inputs.append(_to_lane_major(gcoef.astype(f32), 0, G, S))
         in_specs.append(mk_spec(spec.n_gc))
+    if wrench is not None:
+        inputs.append(_to_lane_major(wrench.astype(f32), 0, G, S))
+        in_specs.append(mk_spec(6))
 
     out_shape = (
         jax.ShapeDtypeStruct((nq, G, S, LANES), f32),
@@ -978,16 +1000,16 @@ def _substep_multi_body(spec: SubstepSpec, n_sub: int, refs):
     persistence" headroom). Extra outputs (a, τ) are the LAST substep's
     accepted acceleration and applied torque (SimState.a/tau — the
     sensor suite's inputs)."""
-    if spec.n_gc:
-        (q_ref, v_ref, cmd_ref, lam0_ref, gc_ref,
-         qn_ref, vn_ref, lam_ref, res_ref, fc_ref, a_ref, tauo_ref,
-         T_ref, L_ref, X_ref, A_ref) = refs
-        gq = _ground_query(spec, gc_ref)
-    else:
-        (q_ref, v_ref, cmd_ref, lam0_ref,
-         qn_ref, vn_ref, lam_ref, res_ref, fc_ref, a_ref, tauo_ref,
-         T_ref, L_ref, X_ref, A_ref) = refs
-        gq = None
+    refs = list(refs)
+    q_ref, v_ref, cmd_ref, lam0_ref = refs[:4]
+    del refs[:4]
+    gq = _ground_query(spec, refs.pop(0)) if spec.n_gc else None
+    w0 = None
+    if spec.base_wrench:
+        w_ref = refs.pop(0)
+        w0 = [w_ref[j, 0] for j in range(6)]
+    (qn_ref, vn_ref, lam_ref, res_ref, fc_ref, a_ref, tauo_ref,
+     T_ref, L_ref, X_ref, A_ref) = refs
     nq, nv = spec.nq, spec.nv
     inv_dt = 1.0 / float(spec.cfg.dt)
     cmd = [cmd_ref[m, 0] for m in range(spec.torque.nm)]
@@ -998,7 +1020,8 @@ def _substep_multi_body(spec: SubstepSpec, n_sub: int, refs):
         v = [vs[i] for i in range(nv)]
         tau = _compute_tau(spec, q, v, cmd)
         q_next, v_next, lam_out, res, fc = _substep_math(
-            spec, q, v, tau, lams, gq, T_ref, L_ref, X_ref, A_ref
+            spec, q, v, tau, lams, gq, T_ref, L_ref, X_ref, A_ref,
+            w0=w0,
         )
         # per-iteration output writes: the LAST substep's values survive
         res_ref[0, 0] = res
@@ -1019,7 +1042,8 @@ def _substep_multi_body(spec: SubstepSpec, n_sub: int, refs):
 
 
 def substep_batched_pallas_multi(spec: SubstepSpec, n_sub: int, q, v,
-                                 cmd, lam0, gcoef=None, interpret=None):
+                                 cmd, lam0, gcoef=None, wrench=None,
+                                 interpret=None):
     """Batched ``n_sub``-substep advance in one kernel launch: q (B,nq),
     v (B,nv), cmd (B,nm) motor command / PD target (zero-order hold),
     lam0 (B,nc) [+ gcoef (B,4K) Fourier coefficients] → (q⁺, v⁺, λ,
@@ -1037,6 +1061,8 @@ def substep_batched_pallas_multi(spec: SubstepSpec, n_sub: int, q, v,
     if use_gc != (gcoef is not None):
         raise ValueError("gcoef required iff the ground has per-env "
                          "coefficients (fourier/stairs)")
+    if spec.base_wrench != (wrench is not None):
+        raise ValueError("wrench (B,6) required iff spec.base_wrench")
     n, nc, nq, ncp = spec.nv, spec.cfg.nc, spec.nq, spec.ncp
     nm = spec.torque.nm
     nfc = max(3 * ncp, 1)
@@ -1062,6 +1088,10 @@ def substep_batched_pallas_multi(spec: SubstepSpec, n_sub: int, q, v,
         if use_gc:
             gpad = jnp.tile(gcoef[:1].astype(f32), (pad, 1))
             gcoef = jnp.concatenate([gcoef.astype(f32), gpad], axis=0)
+        if wrench is not None:
+            wrench = jnp.concatenate(
+                [wrench.astype(f32), jnp.zeros((pad, 6), f32)], axis=0
+            )
 
     inputs = [
         _to_lane_major(q.astype(f32), 0, G, S),
@@ -1083,6 +1113,9 @@ def substep_batched_pallas_multi(spec: SubstepSpec, n_sub: int, q, v,
     if use_gc:
         inputs.append(_to_lane_major(gcoef.astype(f32), 0, G, S))
         in_specs.append(mk_spec(spec.n_gc))
+    if wrench is not None:
+        inputs.append(_to_lane_major(wrench.astype(f32), 0, G, S))
+        in_specs.append(mk_spec(6))
 
     out_shape = (
         jax.ShapeDtypeStruct((nq, G, S, LANES), f32),

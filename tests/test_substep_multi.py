@@ -188,6 +188,59 @@ class TestMultiSubstep:
         np.testing.assert_array_equal(np.asarray(s1.q), np.asarray(s2.q))
         np.testing.assert_array_equal(np.asarray(s1.v), np.asarray(s2.v))
 
+    def test_base_wrench_matches_xla(self):
+        """Push disturbances as the (6,) base_wrench input: the kernel
+        paths (single-substep and fused) must match the XLA path fed the
+        equivalent (nb, 6) fext — push-robustness training stays on the
+        fast path (reference: external forces on the base,
+        SURVEY.md §2.1 'Engine')."""
+        from jiminy_tpu.models.quadruped import make_anymal, stand_q
+
+        robot = make_anymal()
+        tree = robot.tree
+        wrench = jnp.asarray(
+            [0.5, -0.3, 0.2, 60.0, -40.0, 10.0], jnp.float32
+        )
+        engines = {
+            backend: Engine(
+                tree,
+                EngineOptions(
+                    contact_model="constraint",
+                    constraint_solver=backend,
+                    substep_fusion=True,
+                    dt=5e-3,
+                    pgs_iters=8,
+                ),
+                motors=robot.motors,
+                controller=PDController(60.0, 2.0),
+            )
+            for backend in ("xla", "pallas_substep")
+        }
+        qb = _perturbed_batch(tree, jnp.asarray(stand_q(tree)), B=2)
+        u = jnp.zeros((2, robot.nmotors))
+        wb = jnp.tile(wrench, (2, 1))
+        outs = {}
+        for backend, eng in engines.items():
+            states = jax.vmap(lambda q: eng.reset(q=q))(qb)
+            step = jax.jit(
+                jax.vmap(
+                    lambda s, uu, w: eng.step(
+                        s, uu, n_substeps=3, base_wrench=w
+                    )
+                )
+            )
+            outs[backend] = step(states, u, wb)
+        a, b = outs["xla"], outs["pallas_substep"]
+        np.testing.assert_allclose(b.q, a.q, atol=1e-4, rtol=1e-3)
+        np.testing.assert_allclose(b.v, a.v, atol=1e-2, rtol=1e-2)
+        # the wrench must actually perturb the dynamics
+        eng = engines["xla"]
+        states = jax.vmap(lambda q: eng.reset(q=q))(qb)
+        no_w = jax.jit(
+            jax.vmap(lambda s, uu: eng.step(s, uu, n_substeps=3))
+        )(states, u)
+        assert float(jnp.max(jnp.abs(no_w.v - a.v))) > 1e-3
+
     def test_set_options_rebuilds_fusion_state(self):
         """set_options must never leave a stale fused kernel behind
         (same contract as the single-substep kernel — VERDICT r1 weak
