@@ -120,6 +120,29 @@ class EngineOptions:
     substep_fusion: bool = False
 
 
+def _kernel_custom_vmap(call_batched, n_out: int):
+    """custom_vmap wrapper around a batched kernel entry point:
+    unbatched calls get a singleton batch dim; the vmap rule broadcasts
+    any unbatched args and calls the batched form directly (one kernel
+    launch for the whole batch). Shared by the single-substep and
+    multi-substep builders for every ground/wrench arity."""
+
+    @jax.custom_batching.custom_vmap
+    def fn(*args):
+        out = call_batched(*(a[None] for a in args))
+        return tuple(o[0] for o in out)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        args = list(args)
+        for i, (a, b) in enumerate(zip(args, in_batched)):
+            if not b:
+                args[i] = jnp.broadcast_to(a[None], (axis_size, *a.shape))
+        return call_batched(*args), (True,) * n_out
+
+    return fn
+
+
 class PDController:
     """Declarative inner-loop PD controller: motor command =
     ``kp·(target − q_motor) − kd·v_motor``, evaluated at EVERY physics
@@ -358,50 +381,18 @@ class Engine:
         self._substep_fourier = fourier  # kept for tests/back-compat
         self._substep_spec = spec
 
+        # per-env terrain rides a traced coefficient argument (vmapped
+        # callers pass per-env coefficients — reference: random ground
+        # per reset, SURVEY.md §2.4); the wrench input is always last
         if spec.n_gc:
-            # per-env terrain: the ground's coefficient vector is a traced
-            # argument (vmapped callers pass per-env coefficients —
-            # reference: random ground per reset, SURVEY.md §2.4)
-            @jax.custom_batching.custom_vmap
-            def substep(q, v, tau, lam0, gc, w0):
-                out = substep_batched_pallas(
-                    spec, q[None], v[None], tau[None], lam0[None],
-                    gc[None], w0[None],
-                )
-                return tuple(o[0] for o in out)
-
-            @substep.def_vmap
-            def _rule(axis_size, in_batched, *args):
-                args = list(args)
-                for i, (a, b) in enumerate(zip(args, in_batched)):
-                    if not b:
-                        args[i] = jnp.broadcast_to(
-                            a[None], (axis_size, *a.shape)
-                        )
-                out = substep_batched_pallas(spec, *args)
-                return out, (True,) * 5
+            call = lambda q, v, tau, lam0, gc, w0: substep_batched_pallas(
+                spec, q, v, tau, lam0, gc, w0
+            )
         else:
-            @jax.custom_batching.custom_vmap
-            def substep(q, v, tau, lam0, w0):
-                out = substep_batched_pallas(
-                    spec, q[None], v[None], tau[None], lam0[None],
-                    wrench=w0[None],
-                )
-                return tuple(o[0] for o in out)
-
-            @substep.def_vmap
-            def _rule(axis_size, in_batched, *args):
-                args = list(args)
-                for i, (a, b) in enumerate(zip(args, in_batched)):
-                    if not b:
-                        args[i] = jnp.broadcast_to(
-                            a[None], (axis_size, *a.shape)
-                        )
-                *rest, w0 = args
-                out = substep_batched_pallas(spec, *rest, wrench=w0)
-                return out, (True,) * 5
-
-        return substep
+            call = lambda q, v, tau, lam0, w0: substep_batched_pallas(
+                spec, q, v, tau, lam0, wrench=w0
+            )
+        return _kernel_custom_vmap(call, 5)
 
     def _kernel_ground_ok(self, ground) -> bool:
         """Is ``ground`` servable by the built substep kernel? Flat
@@ -489,48 +480,18 @@ class Engine:
         spec = self._substep_spec
 
         if spec.n_gc:
-
-            @jax.custom_batching.custom_vmap
-            def multi(q, v, cmd, lam0, gc, w0):
-                out = substep_batched_pallas_multi(
-                    spec, n_sub, q[None], v[None], cmd[None], lam0[None],
-                    gc[None], w0[None],
+            call = (
+                lambda q, v, cmd, lam0, gc, w0: substep_batched_pallas_multi(
+                    spec, n_sub, q, v, cmd, lam0, gc, w0
                 )
-                return tuple(o[0] for o in out)
-
-            @multi.def_vmap
-            def _rule(axis_size, in_batched, *args):
-                args = list(args)
-                for i, (a, b) in enumerate(zip(args, in_batched)):
-                    if not b:
-                        args[i] = jnp.broadcast_to(
-                            a[None], (axis_size, *a.shape)
-                        )
-                out = substep_batched_pallas_multi(spec, n_sub, *args)
-                return out, (True,) * 7
+            )
         else:
-
-            @jax.custom_batching.custom_vmap
-            def multi(q, v, cmd, lam0, w0):
-                out = substep_batched_pallas_multi(
-                    spec, n_sub, q[None], v[None], cmd[None], lam0[None],
-                    wrench=w0[None],
+            call = (
+                lambda q, v, cmd, lam0, w0: substep_batched_pallas_multi(
+                    spec, n_sub, q, v, cmd, lam0, wrench=w0
                 )
-                return tuple(o[0] for o in out)
-
-            @multi.def_vmap
-            def _rule(axis_size, in_batched, *args):
-                args = list(args)
-                for i, (a, b) in enumerate(zip(args, in_batched)):
-                    if not b:
-                        args[i] = jnp.broadcast_to(
-                            a[None], (axis_size, *a.shape)
-                        )
-                *rest, w0 = args
-                out = substep_batched_pallas_multi(
-                    spec, n_sub, *rest, wrench=w0
-                )
-                return out, (True,) * 7
+            )
+        multi = _kernel_custom_vmap(call, 7)
 
         self._multi_substep_fns[n_sub] = multi
         return multi

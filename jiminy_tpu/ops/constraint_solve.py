@@ -48,9 +48,15 @@ LANES = 128
 # Atlas-size problem (n=29, nc=47) picks S=4; ~70 MB would admit S=8
 # (2× the per-instruction VPU rows) IF the real footprint fits — verify
 # on hardware before changing the default.
-_VMEM_BUDGET = int(
-    os.environ.get("JIMINY_TPU_VMEM_BUDGET", 36 * 1024 * 1024)
-)
+try:
+    _VMEM_BUDGET = int(
+        os.environ.get("JIMINY_TPU_VMEM_BUDGET", 36 * 1024 * 1024)
+    )
+except ValueError as e:
+    raise ValueError(
+        "JIMINY_TPU_VMEM_BUDGET must be a plain integer byte count "
+        f"(e.g. 73400320), got {os.environ['JIMINY_TPU_VMEM_BUDGET']!r}"
+    ) from e
 
 
 @dataclasses.dataclass(frozen=True)

@@ -885,8 +885,10 @@ def _substep_body(spec: SubstepSpec, refs):
 def substep_batched_pallas(spec: SubstepSpec, q, v, tau, lam0, gcoef=None,
                            wrench=None, interpret=None):
     """Batched whole substep: q (B,nq), v/tau (B,nv), lam0 (B,nc)
-    [+ gcoef (B,4K) Fourier-ground coefficients when
-    spec.ground_mode == "fourier": amp ‖ kx ‖ ky ‖ phase] →
+    [+ gcoef when spec.n_gc > 0 — (B,4K) Fourier coefficients
+    (amp ‖ kx ‖ ky ‖ phase) or (B,5) stairs parameters (width ‖ height ‖
+    n_steps ‖ ramp ‖ x0)] [+ wrench (B,6) LOCAL [ang; lin] root-body
+    spatial wrench when spec.base_wrench] →
     (q_next, v_next, λ, residual, f_contact (B,ncp,3) world impulses)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -1046,7 +1048,8 @@ def substep_batched_pallas_multi(spec: SubstepSpec, n_sub: int, q, v,
                                  interpret=None):
     """Batched ``n_sub``-substep advance in one kernel launch: q (B,nq),
     v (B,nv), cmd (B,nm) motor command / PD target (zero-order hold),
-    lam0 (B,nc) [+ gcoef (B,4K) Fourier coefficients] → (q⁺, v⁺, λ,
+    lam0 (B,nc) [+ gcoef as in substep_batched_pallas: (B,4K) Fourier /
+    (B,5) stairs] [+ wrench (B,6) root-body spatial wrench] → (q⁺, v⁺, λ,
     residual, f_contact (B,ncp,3) impulses, a (B,nv), τ (B,nv)) — the
     last two are the final substep's accepted acceleration and applied
     torque. Requires ``spec.torque`` (the in-kernel actuation path)."""

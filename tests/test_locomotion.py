@@ -84,4 +84,5 @@ class TestPushes:
         env = ANYmalEnv()
         st = jax.jit(env.reset)(jax.random.PRNGKey(0))
         assert "push_force" not in st.info
+        assert env._base_wrench(st) is None
         assert env._external_forces(st) is None

@@ -274,6 +274,43 @@ class TestMultiSubstep:
         assert float(eng._substep_spec.cfg.dt) == 2e-3
 
     @pytest.mark.slow
+    def test_stairs_ground_fused_matches_xla(self):
+        """Analytic stairs + multi-substep fusion in one launch (the
+        stairs-training fast path): robot straddling a riser matches the
+        XLA path."""
+        from jiminy_tpu.engine.ground import StairsGround
+        from jiminy_tpu.models.quadruped import make_anymal, stand_q
+
+        robot = make_anymal()
+        tree = robot.tree
+        sg = StairsGround.create(
+            step_width=0.4, step_height=0.08, n_steps=10, ramp=0.05
+        )
+        q0 = jnp.asarray(stand_q(tree))
+        q0 = q0.at[0].set(0.35).at[2].set(q0[2] + 0.08)
+        engines = {
+            backend: Engine(
+                tree,
+                EngineOptions(
+                    contact_model="constraint",
+                    constraint_solver=backend,
+                    substep_fusion=True,
+                    dt=5e-3,
+                    pgs_iters=8,
+                ),
+                motors=robot.motors,
+                ground=sg,
+                controller=PDController(60.0, 2.0),
+            )
+            for backend in ("xla", "pallas_substep")
+        }
+        qb = _perturbed_batch(tree, q0, B=2)
+        a, b = _step_both(engines, qb, jnp.zeros((2, robot.nmotors)), 3)
+        _assert_close(a, b)
+        scale = max(1.0, float(jnp.max(jnp.abs(a.contact_forces))))
+        assert scale > 1.0  # actually standing on the staircase
+
+    @pytest.mark.slow
     def test_fourier_ground_pd_matches_xla(self):
         """Per-env Fourier terrain + in-kernel PD, one launch for 3
         substeps (rough-terrain training path)."""
