@@ -128,32 +128,26 @@ def main() -> None:
     print(f"numerics fused-vs-CPU-xla: dq={dqc:.2e} dv={dvc:.2e}  "
           f"{'PASS' if okc else 'FAIL'}", flush=True)
 
-    # ---- 2. trained-policy eval --------------------------------------
-    try:
-        from jiminy_tpu.checkpoint import restore_raw
-        from jiminy_tpu.envs import ANYmalEnv
-        from jiminy_tpu.rl import PPOConfig
-        from jiminy_tpu.rl.evaluate import evaluate
-        from jiminy_tpu.rl.ppo import make_train_fn
+    # ---- 2. trained-policy eval (reuses examples/evaluate.py — one
+    # copy of the restore/eval recipe) ----------------------------------
+    import pathlib
+    import subprocess
 
-        raw = restore_raw("artifacts/anymal_run/ckpt")
-        params = raw[0] if isinstance(raw, (list, tuple)) else raw["0"]
-        for fused in (False, True):
-            with jax.default_device(cpu):
-                env = ANYmalEnv()
-                if fused:
-                    env.engine.set_options({"substep_fusion": True})
-                cfg = PPOConfig(num_envs=256, hidden=(256, 256))
-                _, _, policy = make_train_fn(env, cfg)
-            stats = evaluate(
-                env,
-                lambda obs: policy.action_dist(params, obs)[0],
-                n_envs=256, n_steps=499, key=jax.random.PRNGKey(123),
-            )
-            print(f"anymal eval fused={fused}: {stats}", flush=True)
-    except Exception as e:  # noqa: BLE001 - report-and-continue harness
-        print(f"eval step skipped ({type(e).__name__}: {e}); run "
-              f"rl/evaluate manually with substep_fusion on", flush=True)
+    root = pathlib.Path(__file__).resolve().parents[1]
+    for fused in (False, True):
+        cmd = [
+            sys.executable, str(root / "examples" / "evaluate.py"),
+            "--env", "anymal",
+            "--run", str(root / "artifacts" / "anymal_run"),
+            "--n-envs", "256",
+        ]
+        if fused:
+            cmd.append("--substep-fusion")
+        print(f"anymal eval fused={fused}:", flush=True)
+        r = subprocess.run(cmd, check=False)
+        if r.returncode:
+            print(f"eval fused={fused} FAILED (rc={r.returncode})",
+                  flush=True)
 
     # ---- 3. throughput ------------------------------------------------
     with jax.default_device(cpu):

@@ -30,8 +30,6 @@ against them in tests/test_substep_kernel.py.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -882,89 +880,58 @@ def _substep_body(spec: SubstepSpec, refs):
 # ---------------------------------------------------------------------------
 
 
-def substep_batched_pallas(spec: SubstepSpec, q, v, tau, lam0, gcoef=None,
-                           wrench=None, interpret=None):
-    """Batched whole substep: q (B,nq), v/tau (B,nv), lam0 (B,nc)
-    [+ gcoef when spec.n_gc > 0 — (B,4K) Fourier coefficients
-    (amp ‖ kx ‖ ky ‖ phase) or (B,5) stairs parameters (width ‖ height ‖
-    n_steps ‖ ramp ‖ x0)] [+ wrench (B,6) LOCAL [ang; lin] root-body
-    spatial wrench when spec.base_wrench] →
-    (q_next, v_next, λ, residual, f_contact (B,ncp,3) world impulses)."""
+def _lane_kernel_call(spec: SubstepSpec, kernel_body, inputs, out_dims,
+                      interpret=None):
+    """Shared host-side plumbing for both whole-substep kernels: pad the
+    batch to a (S·128) tile multiple, pack every (B, d) input lane-major,
+    run ``kernel_body`` through pallas_call with the standard scratch set
+    (T, L, X, A), and unpack the (d, G, S, 128) outputs back to (B, d).
+
+    ``inputs``: list of (array (B, d), pad_mode) where pad_mode is
+    "repeat" (tile row 0 — neutral configuration / shared coefficients)
+    or "zero". Keeping this in ONE place guarantees the single- and
+    multi-substep paths can never desynchronize on padding or layout."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    use_gc = spec.n_gc > 0
-    if use_gc != (gcoef is not None):
-        raise ValueError("gcoef required iff the ground has per-env "
-                         "coefficients (fourier/stairs)")
-    if spec.base_wrench != (wrench is not None):
-        raise ValueError("wrench (B,6) required iff spec.base_wrench")
-    n, nc, nq, ncp = spec.nv, spec.cfg.nc, spec.nq, spec.ncp
-    nfc = max(3 * ncp, 1)
-    B = q.shape[0]
+    n, nc = spec.nv, spec.cfg.nc
+    B = inputs[0][0].shape[0]
     S = _pick_sublanes(n, nc)
     tile = S * LANES
     Bp = -(-B // tile) * tile
     G = Bp // tile
     pad = Bp - B
     f32 = jnp.float32
-    if pad:
-        # pad with a neutral configuration high above the ground
-        qpad = jnp.tile(q[:1].astype(f32), (pad, 1))
-        q = jnp.concatenate([q.astype(f32), qpad], axis=0)
-        zn = jnp.zeros((pad, n), f32)
-        v = jnp.concatenate([v.astype(f32), zn], axis=0)
-        tau = jnp.concatenate([tau.astype(f32), zn], axis=0)
-        lam0 = jnp.concatenate(
-            [lam0.astype(f32), jnp.zeros((pad, nc), f32)], axis=0
-        )
-        if use_gc:
-            gpad = jnp.tile(gcoef[:1].astype(f32), (pad, 1))
-            gcoef = jnp.concatenate([gcoef.astype(f32), gpad], axis=0)
-        if wrench is not None:
-            wrench = jnp.concatenate(
-                [wrench.astype(f32), jnp.zeros((pad, 6), f32)], axis=0
-            )
 
-    qb = _to_lane_major(q.astype(f32), 0, G, S)
-    vb = _to_lane_major(v.astype(f32), 0, G, S)
-    tb = _to_lane_major(tau.astype(f32), 0, G, S)
-    lb = _to_lane_major(lam0.astype(f32), 0, G, S)
-    inputs = [qb, vb, tb, lb]
-
-    def mk_spec(*lead):
-        block = (*lead, 1, S, LANES)
-        zeros = (0,) * len(lead)
+    def mk_spec(d):
         return pl.BlockSpec(
-            block,
-            lambda g, _z=zeros: (*_z, g, 0, 0),
+            (d, 1, S, LANES),
+            lambda g: (0, g, 0, 0),
             memory_space=pltpu.VMEM,
         )
 
-    in_specs = [mk_spec(nq), mk_spec(n), mk_spec(n), mk_spec(nc)]
-    if use_gc:
-        inputs.append(_to_lane_major(gcoef.astype(f32), 0, G, S))
-        in_specs.append(mk_spec(spec.n_gc))
-    if wrench is not None:
-        inputs.append(_to_lane_major(wrench.astype(f32), 0, G, S))
-        in_specs.append(mk_spec(6))
+    packed, in_specs = [], []
+    for arr, mode in inputs:
+        arr = arr.astype(f32)
+        if pad:
+            fill = (
+                jnp.tile(arr[:1], (pad, 1)) if mode == "repeat"
+                else jnp.zeros((pad, arr.shape[1]), f32)
+            )
+            arr = jnp.concatenate([arr, fill], axis=0)
+        packed.append(_to_lane_major(arr, 0, G, S))
+        in_specs.append(mk_spec(arr.shape[1]))
 
-    out_shape = (
-        jax.ShapeDtypeStruct((nq, G, S, LANES), f32),
-        jax.ShapeDtypeStruct((n, G, S, LANES), f32),
-        jax.ShapeDtypeStruct((nc, G, S, LANES), f32),
-        jax.ShapeDtypeStruct((1, G, S, LANES), f32),
-        jax.ShapeDtypeStruct((nfc, G, S, LANES), f32),
-    )
-    qn, vn, lam, res, fc = pl.pallas_call(
-        lambda *refs: _substep_body(spec, refs),
+    outs = pl.pallas_call(
+        kernel_body,
         grid=(G,),
         in_specs=in_specs,
-        out_specs=(mk_spec(nq), mk_spec(n), mk_spec(nc), mk_spec(1),
-                   mk_spec(nfc)),
-        out_shape=out_shape,
+        out_specs=tuple(mk_spec(d) for d in out_dims),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((d, G, S, LANES), f32) for d in out_dims
+        ),
         scratch_shapes=[
             pltpu.VMEM((n, n, S, LANES), f32),
             pltpu.VMEM((n, n, S, LANES), f32),
@@ -975,17 +942,49 @@ def substep_batched_pallas(spec: SubstepSpec, q, v, tau, lam0, gcoef=None,
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(*inputs)
+    )(*packed)
 
     def back(x):
         d = x.shape[0]
         return x.reshape(d, Bp).T[:B]
 
-    f_contact = (
-        back(fc).reshape(B, ncp, 3) if ncp
-        else jnp.zeros((B, 0, 3), f32)
+    return [back(o) for o in outs]
+
+
+def _check_kernel_inputs(spec: SubstepSpec, gcoef, wrench):
+    if (spec.n_gc > 0) != (gcoef is not None):
+        raise ValueError("gcoef required iff the ground has per-env "
+                         "coefficients (fourier/stairs)")
+    if spec.base_wrench != (wrench is not None):
+        raise ValueError("wrench (B,6) required iff spec.base_wrench")
+
+
+def substep_batched_pallas(spec: SubstepSpec, q, v, tau, lam0, gcoef=None,
+                           wrench=None, interpret=None):
+    """Batched whole substep: q (B,nq), v/tau (B,nv), lam0 (B,nc)
+    [+ gcoef when spec.n_gc > 0 — (B,4K) Fourier coefficients
+    (amp ‖ kx ‖ ky ‖ phase) or (B,5) stairs parameters (width ‖ height ‖
+    n_steps ‖ ramp ‖ x0)] [+ wrench (B,6) LOCAL [ang; lin] root-body
+    spatial wrench when spec.base_wrench] →
+    (q_next, v_next, λ, residual, f_contact (B,ncp,3) world impulses)."""
+    _check_kernel_inputs(spec, gcoef, wrench)
+    n, nc, nq, ncp = spec.nv, spec.cfg.nc, spec.nq, spec.ncp
+    nfc = max(3 * ncp, 1)
+    B = q.shape[0]
+    inputs = [(q, "repeat"), (v, "zero"), (tau, "zero"), (lam0, "zero")]
+    if gcoef is not None:
+        inputs.append((gcoef, "repeat"))
+    if wrench is not None:
+        inputs.append((wrench, "zero"))
+    qn, vn, lam, res, fc = _lane_kernel_call(
+        spec, lambda *refs: _substep_body(spec, refs), inputs,
+        (nq, n, nc, 1, nfc), interpret,
     )
-    return back(qn), back(vn), back(lam), back(res)[:, 0], f_contact
+    f_contact = (
+        fc.reshape(B, ncp, 3) if ncp
+        else jnp.zeros((B, 0, 3), jnp.float32)
+    )
+    return qn, vn, lam, res[:, 0], f_contact
 
 
 # ---------------------------------------------------------------------------
@@ -1053,108 +1052,23 @@ def substep_batched_pallas_multi(spec: SubstepSpec, n_sub: int, q, v,
     residual, f_contact (B,ncp,3) impulses, a (B,nv), τ (B,nv)) — the
     last two are the final substep's accepted acceleration and applied
     torque. Requires ``spec.torque`` (the in-kernel actuation path)."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
     if spec.torque is None:
         raise ValueError("multi-substep kernel requires spec.torque")
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    use_gc = spec.n_gc > 0
-    if use_gc != (gcoef is not None):
-        raise ValueError("gcoef required iff the ground has per-env "
-                         "coefficients (fourier/stairs)")
-    if spec.base_wrench != (wrench is not None):
-        raise ValueError("wrench (B,6) required iff spec.base_wrench")
+    _check_kernel_inputs(spec, gcoef, wrench)
     n, nc, nq, ncp = spec.nv, spec.cfg.nc, spec.nq, spec.ncp
-    nm = spec.torque.nm
     nfc = max(3 * ncp, 1)
     B = q.shape[0]
-    S = _pick_sublanes(n, nc)
-    tile = S * LANES
-    Bp = -(-B // tile) * tile
-    G = Bp // tile
-    pad = Bp - B
-    f32 = jnp.float32
-    if pad:
-        qpad = jnp.tile(q[:1].astype(f32), (pad, 1))
-        q = jnp.concatenate([q.astype(f32), qpad], axis=0)
-        zn = jnp.zeros((pad, n), f32)
-        v = jnp.concatenate([v.astype(f32), zn], axis=0)
-        cmd = jnp.concatenate(
-            [cmd.astype(f32), jnp.tile(cmd[:1].astype(f32), (pad, 1))],
-            axis=0,
-        )
-        lam0 = jnp.concatenate(
-            [lam0.astype(f32), jnp.zeros((pad, nc), f32)], axis=0
-        )
-        if use_gc:
-            gpad = jnp.tile(gcoef[:1].astype(f32), (pad, 1))
-            gcoef = jnp.concatenate([gcoef.astype(f32), gpad], axis=0)
-        if wrench is not None:
-            wrench = jnp.concatenate(
-                [wrench.astype(f32), jnp.zeros((pad, 6), f32)], axis=0
-            )
-
-    inputs = [
-        _to_lane_major(q.astype(f32), 0, G, S),
-        _to_lane_major(v.astype(f32), 0, G, S),
-        _to_lane_major(cmd.astype(f32), 0, G, S),
-        _to_lane_major(lam0.astype(f32), 0, G, S),
-    ]
-
-    def mk_spec(*lead):
-        block = (*lead, 1, S, LANES)
-        zeros = (0,) * len(lead)
-        return pl.BlockSpec(
-            block,
-            lambda g, _z=zeros: (*_z, g, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
-
-    in_specs = [mk_spec(nq), mk_spec(n), mk_spec(nm), mk_spec(nc)]
-    if use_gc:
-        inputs.append(_to_lane_major(gcoef.astype(f32), 0, G, S))
-        in_specs.append(mk_spec(spec.n_gc))
+    inputs = [(q, "repeat"), (v, "zero"), (cmd, "repeat"), (lam0, "zero")]
+    if gcoef is not None:
+        inputs.append((gcoef, "repeat"))
     if wrench is not None:
-        inputs.append(_to_lane_major(wrench.astype(f32), 0, G, S))
-        in_specs.append(mk_spec(6))
-
-    out_shape = (
-        jax.ShapeDtypeStruct((nq, G, S, LANES), f32),
-        jax.ShapeDtypeStruct((n, G, S, LANES), f32),
-        jax.ShapeDtypeStruct((nc, G, S, LANES), f32),
-        jax.ShapeDtypeStruct((1, G, S, LANES), f32),
-        jax.ShapeDtypeStruct((nfc, G, S, LANES), f32),
-        jax.ShapeDtypeStruct((n, G, S, LANES), f32),
-        jax.ShapeDtypeStruct((n, G, S, LANES), f32),
+        inputs.append((wrench, "zero"))
+    qn, vn, lam, res, fc, acc, tau = _lane_kernel_call(
+        spec, lambda *refs: _substep_multi_body(spec, n_sub, refs),
+        inputs, (nq, n, nc, 1, nfc, n, n), interpret,
     )
-    qn, vn, lam, res, fc, acc, tau = pl.pallas_call(
-        lambda *refs: _substep_multi_body(spec, n_sub, refs),
-        grid=(G,),
-        in_specs=in_specs,
-        out_specs=(mk_spec(nq), mk_spec(n), mk_spec(nc), mk_spec(1),
-                   mk_spec(nfc), mk_spec(n), mk_spec(n)),
-        out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((n, n, S, LANES), f32),
-            pltpu.VMEM((n, n, S, LANES), f32),
-            pltpu.VMEM((n, nc + 1, S, LANES), f32),
-            pltpu.VMEM((nc, nc, S, LANES), f32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
-        ),
-        interpret=interpret,
-    )(*inputs)
-
-    def back(x):
-        d = x.shape[0]
-        return x.reshape(d, Bp).T[:B]
-
     f_contact = (
-        back(fc).reshape(B, ncp, 3) if ncp
-        else jnp.zeros((B, 0, 3), f32)
+        fc.reshape(B, ncp, 3) if ncp
+        else jnp.zeros((B, 0, 3), jnp.float32)
     )
-    return (back(qn), back(vn), back(lam), back(res)[:, 0], f_contact,
-            back(acc), back(tau))
+    return qn, vn, lam, res[:, 0], f_contact, acc, tau
