@@ -181,10 +181,18 @@ def main():
     from jiminy_tpu.rl.evaluate import evaluate
 
     params = carry[0]
+    eval_env = env
+    if args.pipeline:
+        # normalization statistics are part of the trained artifact:
+        # evaluate with them FROZEN at the training values (fresh resets
+        # would otherwise normalize with cold unit stats)
+        from jiminy_tpu.envs.pipeline import freeze_pipeline_stats
+
+        eval_env = freeze_pipeline_stats(env, carry[2])
     stats = evaluate(
-        env,
+        eval_env,
         lambda obs: policy.action_dist(params, obs)[0]
-        if env.discrete_actions is None
+        if eval_env.discrete_actions is None
         else jax.numpy.argmax(policy.action_dist(params, obs), -1),
         n_envs=256,
         n_steps=args.max_steps - 1,

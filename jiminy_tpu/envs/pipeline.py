@@ -214,14 +214,24 @@ class NormalizedObsEnv(EnvWrapper):
     them at evaluation by setting ``update=False``."""
 
     def __init__(self, env, clip: float = 10.0, update: bool = True,
-                 eps: float = 1e-6):
+                 eps: float = 1e-6, stats: dict | None = None):
         super().__init__(env)
         self.clip = clip
         self.update = update
         self.eps = eps
+        # frozen statistics for evaluation: fresh resets start from the
+        # TRAINING-TIME mean/var instead of cold unit stats (reference:
+        # VecNormalize-style eval mode; see freeze_pipeline_stats)
+        self.stats = stats
 
     def _init_layer(self, key, inner_state):
         d = inner_state.obs.shape[-1]
+        if self.stats is not None:
+            return {
+                "mean": jnp.asarray(self.stats["mean"], jnp.float32),
+                "var": jnp.asarray(self.stats["var"], jnp.float32),
+                "count": jnp.float32(self.stats.get("count", 1.0)),
+            }
         return {
             "mean": jnp.zeros(d),
             "var": jnp.ones(d),
@@ -266,3 +276,32 @@ def build_pipeline(env, layers: list[dict]):
         kind = spec.pop("type")
         env = _WRAPPERS[kind](env, **spec)
     return env
+
+
+def freeze_pipeline_stats(env, states):
+    """Evaluation twin of a trained pipeline env: every NormalizedObsEnv
+    layer is rebuilt FROZEN at the batch-averaged running statistics
+    found in ``states`` (the final training-time env states), so fresh
+    eval resets normalize exactly like training did instead of starting
+    from cold unit stats (reference: VecNormalize-style eval mode —
+    observation statistics are part of the trained artifact). Other
+    layers are reused as-is; the base env is shared."""
+    import copy
+
+    if not isinstance(env, EnvWrapper):
+        return env
+    inner = freeze_pipeline_stats(
+        env.env, states.inner if isinstance(states, WrapperState) else states
+    )
+    if isinstance(env, NormalizedObsEnv):
+        layer = states.layer
+        return NormalizedObsEnv(
+            inner, clip=env.clip, update=False, eps=env.eps,
+            stats={
+                "mean": jnp.mean(layer["mean"], axis=0),
+                "var": jnp.mean(layer["var"], axis=0),
+            },
+        )
+    new = copy.copy(env)
+    new.env = inner
+    return new

@@ -242,6 +242,49 @@ class TestPipelineWrappers:
         assert bool(jnp.all(jnp.isfinite(st.obs)))
         assert float(jnp.max(jnp.abs(st.obs))) <= 10.0
 
+    def test_freeze_pipeline_stats_for_eval(self):
+        """Evaluation twin: normalization statistics from a trained
+        batch of env states carry into fresh eval resets FROZEN — a
+        fresh reset of the frozen env must normalize with the training
+        stats (not cold unit stats), and stepping it must not move
+        them (VecNormalize-style eval mode)."""
+        from jiminy_tpu.envs.pipeline import freeze_pipeline_stats
+
+        env = build_pipeline(
+            CartPoleEnv(), [{"type": "stack", "n": 2}, {"type": "normalize"}]
+        )
+        B = 8
+        states = jax.jit(jax.vmap(env.reset))(
+            jax.random.split(jax.random.PRNGKey(0), B)
+        )
+        step = jax.jit(jax.vmap(env.step))
+        for i in range(30):
+            states = step(states, jnp.full((B,), i % 2, jnp.int32))
+        # stats have moved away from the cold init
+        assert float(jnp.max(jnp.abs(states.layer["mean"]))) > 1e-4
+
+        frozen = freeze_pipeline_stats(env, states)
+        mean = jnp.mean(states.layer["mean"], axis=0)
+        var = jnp.mean(states.layer["var"], axis=0)
+        st = jax.jit(frozen.reset)(jax.random.PRNGKey(3))
+        np.testing.assert_allclose(
+            np.asarray(st.layer["mean"]), np.asarray(mean), atol=1e-6
+        )
+        # frozen: stats must not update on step
+        st1 = jax.jit(frozen.step)(st, jnp.int32(0))
+        np.testing.assert_array_equal(
+            np.asarray(st1.layer["mean"]), np.asarray(st.layer["mean"])
+        )
+        # and the observation is normalized with the trained stats
+        raw = st1.inner.obs
+        expect = jnp.clip(
+            (raw - mean) / jnp.sqrt(var + frozen.eps), -frozen.clip,
+            frozen.clip,
+        )
+        np.testing.assert_allclose(
+            np.asarray(st1.obs), np.asarray(expect), atol=1e-6
+        )
+
     def test_build_pipeline_and_ppo_compat(self):
         env = build_pipeline(
             CartPoleEnv(), [{"type": "stack", "n": 2}, {"type": "normalize"}]
