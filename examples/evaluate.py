@@ -44,6 +44,10 @@ def main() -> None:
                     help="force the constraint-solver backend (cassie)")
     ap.add_argument("--substep-fusion", action="store_true",
                     help="enable EngineOptions.substep_fusion")
+    ap.add_argument("--pipeline", default=None,
+                    help="declarative wrapper layers the run was trained "
+                    "with (same syntax as train.py); normalization stats "
+                    "are restored FROZEN from the checkpointed carry")
     ap.add_argument("--out", default=None,
                     help="write stats JSON here (default: stdout only)")
     args = ap.parse_args()
@@ -63,12 +67,30 @@ def main() -> None:
         )
         if args.substep_fusion:
             env.engine.set_options({"substep_fusion": True})
+        if args.pipeline:
+            from jiminy_tpu.envs.pipeline import build_pipeline
+
+            layers = []
+            for part in args.pipeline.split(","):
+                kind, _, arg = part.partition(":")
+                spec = {"type": kind}
+                if kind == "stack":
+                    spec["n"] = int(arg or 4)
+                layers.append(spec)
+            env = build_pipeline(env, layers)
         cfg = PPOConfig(num_envs=args.n_envs, hidden=(256, 256))
         _, _, policy = make_train_fn(
             env, cfg, symmetry_fn=getattr(env, "symmetry_fn", None)
         )
         raw = restore_raw(pathlib.Path(args.run) / "ckpt")
         params = raw[0] if isinstance(raw, (list, tuple)) else raw["0"]
+        if args.pipeline:
+            # normalization statistics are part of the trained artifact —
+            # freeze them into the eval env from the checkpointed carry
+            from jiminy_tpu.envs.pipeline import freeze_pipeline_stats
+
+            states = raw[2] if isinstance(raw, (list, tuple)) else raw["2"]
+            env = freeze_pipeline_stats(env, states)
 
     if env.discrete_actions is None:
         policy_fn = lambda obs: policy.action_dist(params, obs)[0]

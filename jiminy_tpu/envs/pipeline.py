@@ -285,21 +285,26 @@ def freeze_pipeline_stats(env, states):
     eval resets normalize exactly like training did instead of starting
     from cold unit stats (reference: VecNormalize-style eval mode —
     observation statistics are part of the trained artifact). Other
-    layers are reused as-is; the base env is shared."""
+    layers are reused as-is; the base env is shared.
+
+    ``states`` may be live WrapperState pytrees OR the raw nested dicts
+    a template-free ``checkpoint.restore_raw`` returns (so evaluate-only
+    tools can freeze stats straight from a saved carry)."""
     import copy
+
+    def get(s, k):
+        return s[k] if isinstance(s, dict) else getattr(s, k)
 
     if not isinstance(env, EnvWrapper):
         return env
-    inner = freeze_pipeline_stats(
-        env.env, states.inner if isinstance(states, WrapperState) else states
-    )
+    inner = freeze_pipeline_stats(env.env, get(states, "inner"))
     if isinstance(env, NormalizedObsEnv):
-        layer = states.layer
+        layer = get(states, "layer")
         return NormalizedObsEnv(
             inner, clip=env.clip, update=False, eps=env.eps,
             stats={
-                "mean": jnp.mean(layer["mean"], axis=0),
-                "var": jnp.mean(layer["var"], axis=0),
+                "mean": jnp.mean(jnp.asarray(layer["mean"]), axis=0),
+                "var": jnp.mean(jnp.asarray(layer["var"]), axis=0),
             },
         )
     new = copy.copy(env)
