@@ -31,8 +31,11 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    cpu = jax.local_devices(backend="cpu")[0]
+    # initialise the default backend FIRST: under the axon plugin,
+    # local_devices(backend="cpu") before any devices() call fails to
+    # register the plugin platform
     print("devices:", jax.devices(), flush=True)
+    cpu = jax.local_devices(backend="cpu")[0]
 
     with jax.default_device(cpu):
         from jiminy_tpu.engine.engine import (

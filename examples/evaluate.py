@@ -42,8 +42,10 @@ def main() -> None:
     ap.add_argument("--solver", default=None,
                     choices=[None, "xla", "pallas", "pallas_substep"],
                     help="force the constraint-solver backend (cassie)")
-    ap.add_argument("--substep-fusion", action="store_true",
-                    help="enable EngineOptions.substep_fusion")
+    ap.add_argument("--substep-fusion", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="override EngineOptions.substep_fusion "
+                    "(default ON since TPU validation)")
     ap.add_argument("--pipeline", default=None,
                     help="declarative wrapper layers the run was trained "
                     "with (same syntax as train.py); normalization stats "
@@ -65,8 +67,10 @@ def main() -> None:
             args.env, args.max_steps, terrain=args.terrain,
             observe=args.observe, solver=args.solver,
         )
-        if args.substep_fusion:
-            env.engine.set_options({"substep_fusion": True})
+        if args.substep_fusion is not None:
+            env.engine.set_options(
+                {"substep_fusion": args.substep_fusion}
+            )
         if args.pipeline:
             from jiminy_tpu.envs.pipeline import build_pipeline
 

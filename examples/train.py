@@ -97,9 +97,12 @@ def main():
                     choices=[None, "xla", "pallas", "pallas_substep"],
                     help="cassie only: force the constraint-solver "
                     "backend (default: engine auto-select)")
-    ap.add_argument("--fusion", action="store_true",
-                    help="enable EngineOptions.substep_fusion (all "
-                    "n_substeps in one kernel launch; TPU validation)")
+    ap.add_argument("--fusion", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="override EngineOptions.substep_fusion (all "
+                    "n_substeps in one kernel launch; default ON since "
+                    "TPU validation — --no-fusion for per-substep "
+                    "launches)")
     ap.add_argument("--pipeline", default=None,
                     help="comma-separated declarative wrapper layers, "
                     "e.g. 'stack:4,normalize' (build_pipeline dogfood); "
@@ -122,8 +125,8 @@ def main():
             args.observe, args.sensor_delay, args.imu_noise,
             args.encoder_noise, args.mdp, args.solver,
         )
-        if args.fusion:
-            env.engine.set_options({"substep_fusion": True})
+        if args.fusion is not None:
+            env.engine.set_options({"substep_fusion": args.fusion})
         if args.pipeline:
             from jiminy_tpu.envs.pipeline import build_pipeline
 

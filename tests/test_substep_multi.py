@@ -260,6 +260,8 @@ class TestMultiSubstep:
             motors=robot.motors,
             controller=PDController(60.0, 2.0),
         )
+        assert eng.options.substep_fusion  # default ON since TPU validation
+        eng.set_options({"substep_fusion": False})
         assert not eng.options.substep_fusion
         # simulate a built kernel cache, then mutate options
         eng._multi_substep_fns[4] = lambda *a: a
