@@ -51,14 +51,17 @@ def make_env(name: str, max_steps: int, terrain=None, push=0.0,
     if name == "cassie":
         return E.CassieEnv(
             sim_dt=2e-3, max_steps=max_steps, target_speed=0.4,
+            push_magnitude=push,
             **({"engine_options": _solver_options(solver)} if solver else {}),
         )
     if name == "ant":
-        return E.AntEnv(max_steps=max_steps)
+        return E.AntEnv(max_steps=max_steps, push_magnitude=push)
     if name == "spotmicro":
-        return E.SpotmicroEnv(max_steps=max_steps)
+        return E.SpotmicroEnv(max_steps=max_steps, push_magnitude=push)
     if name == "atlas":
-        return E.AtlasEnv(max_steps=max_steps, target_speed=0.3)
+        return E.AtlasEnv(
+            max_steps=max_steps, target_speed=0.3, push_magnitude=push
+        )
     if name == "cartpole":
         return E.CartPoleEnv()
     if name == "acrobot":
@@ -77,10 +80,11 @@ def main():
     ap.add_argument("--ent-coef", type=float, default=0.005)
     ap.add_argument(
         "--terrain", default=None,
-        choices=[None, "flat", "perlin", "stairs", "fourier"]
+        choices=[None, "flat", "perlin", "perlin_grid", "stairs",
+                 "fourier"]
     )
     ap.add_argument("--push", type=float, default=0.0,
-                    help="random push impulse magnitude (N·s), anymal only")
+                    help="random push force magnitude (N), walker envs")
     ap.add_argument("--observe", default="state",
                     choices=["state", "sensors"],
                     help="observation source: privileged state or the "

@@ -300,6 +300,7 @@ class Engine:
         from jiminy_tpu.engine.ground import (
             FlatGround,
             FourierGround,
+            PerlinGround,
             StairsGround,
         )
         from jiminy_tpu.ops.constraint_solve import SolveConfig
@@ -317,10 +318,12 @@ class Engine:
         if opts.contact_model != "constraint":
             bad.append("contact_model must be 'constraint'")
         if not isinstance(
-            self.ground, (FlatGround, FourierGround, StairsGround)
+            self.ground,
+            (FlatGround, FourierGround, PerlinGround, StairsGround),
         ):
             bad.append(
-                "ground must be FlatGround, FourierGround or StairsGround"
+                "ground must be FlatGround, FourierGround, PerlinGround "
+                "or StairsGround"
             )
         if self.forces:
             bad.append("registered forces unsupported")
@@ -368,14 +371,25 @@ class Engine:
         )
         fourier = isinstance(self.ground, FourierGround)
         stairs = isinstance(self.ground, StairsGround)
-        gmode = "fourier" if fourier else "stairs" if stairs else "flat"
+        perlin = isinstance(self.ground, PerlinGround)
+        gmode = (
+            "fourier" if fourier
+            else "stairs" if stairs
+            else "perlin" if perlin
+            else "flat"
+        )
         spec = SubstepSpec(
             tree, opts, cfg, bj, color_order,
             float(self.ground.height) if gmode == "flat" else 0.0,
             float(opts.contacts.friction),
             dist_constraints=self.constraints,
             ground_mode=gmode,
-            n_fourier=self.ground.n_terms if fourier else 0,
+            # n_fourier doubles as the static octave count for perlin
+            n_fourier=(
+                self.ground.n_terms if fourier
+                else self.ground.octaves if perlin
+                else 0
+            ),
             torque=self._build_torque_spec(),
             # wrench input is always on: zero-cost when fed zeros, and it
             # keeps push-disturbance training (base_wrench) on this path
@@ -419,6 +433,14 @@ class Engine:
                 isinstance(ground, StairsGround)
                 and ground.step_width.ndim == 0
             )
+        if self._substep_gmode == "perlin":
+            from jiminy_tpu.engine.ground import PerlinGround
+
+            return (
+                isinstance(ground, PerlinGround)
+                and ground.seed.ndim == 0
+                and ground.octaves == self.ground.octaves
+            )
         return ground is self.ground
 
     def _ground_coef(self, ground) -> jax.Array:
@@ -428,6 +450,8 @@ class Engine:
             return jnp.concatenate(
                 [ground.amp, ground.kx, ground.ky, ground.phase]
             )
+        if self._substep_gmode == "perlin":
+            return jnp.stack([ground.seed, ground.freq, ground.amp])
         return jnp.stack(
             [ground.step_width, ground.step_height, ground.n_steps,
              ground.ramp, ground.x0]

@@ -111,6 +111,150 @@ def sample_fourier_ground(
     )
 
 
+def _perlin_hash2(ix, iy, seed):
+    """Arithmetic 2-D lattice hash (int32 mul/xor/shift — no permutation
+    table, hence no gather): the TPU-native replacement for the
+    table-based ``utils.random.PerlinNoise._hash``. Shifts are masked to
+    emulate logical shift on int32."""
+    h = (
+        ix * jnp.int32(0x27D4EB2D)
+        + iy * jnp.int32(0x165667B1)
+        + seed
+    )
+    h = h ^ ((h >> 15) & jnp.int32(0x1FFFF))
+    h = h * jnp.int32(0x2545F491)
+    h = h ^ ((h >> 13) & jnp.int32(0x7FFFF))
+    return h
+
+
+def _fade(t):
+    """Perlin quintic smoothstep 6t⁵−15t⁴+10t³ (C² at lattice lines)."""
+    return t * t * t * (t * (t * 6.0 - 15.0) + 10.0)
+
+
+def _dfade(t):
+    """d/dt fade = 30t²(t−1)²."""
+    u = t * (t - 1.0)
+    return 30.0 * u * u
+
+
+# std of one hash-gradient octave (measured over 2M samples; the (±1,±1)
+# gradient set of utils.random.PerlinNoise._grad2)
+_PERLIN_OCTAVE_STD = 0.306
+
+
+def _perlin_octave(px, py, seed):
+    """One octave of gradient noise at lattice scale 1: h, ∂h/∂px, ∂h/∂py.
+    Same gradient set as ``utils.random.PerlinNoise._grad2`` (signs from
+    the two low hash bits, g = (±1, ±1)) but with the arithmetic hash —
+    identical math runs as jnp arrays here and as Mosaic lane ops in
+    ``ops/substep_kernel._ground_query``."""
+    ix = jnp.floor(px)
+    iy = jnp.floor(py)
+    xf = px - ix
+    yf = py - iy
+    ixi = ix.astype(jnp.int32)
+    iyi = iy.astype(jnp.int32)
+
+    def corner(di, dj):
+        h = _perlin_hash2(ixi + di, iyi + dj, seed)
+        sx = jnp.where((h & 1) == 0, 1.0, -1.0)
+        sy = jnp.where((h & 2) == 0, 1.0, -1.0)
+        n = sx * (xf - di) + sy * (yf - dj)
+        return n, sx, sy
+
+    n00, sx00, sy00 = corner(0, 0)
+    n10, sx10, sy10 = corner(1, 0)
+    n01, sx01, sy01 = corner(0, 1)
+    n11, sx11, sy11 = corner(1, 1)
+    u, v = _fade(xf), _fade(yf)
+    du, dv = _dfade(xf), _dfade(yf)
+    nx0 = n00 + u * (n10 - n00)
+    nx1 = n01 + u * (n11 - n01)
+    h = nx0 + v * (nx1 - nx0)
+    dnx0_dx = sx00 + u * (sx10 - sx00) + du * (n10 - n00)
+    dnx1_dx = sx01 + u * (sx11 - sx01) + du * (n11 - n01)
+    dh_dx = dnx0_dx + v * (dnx1_dx - dnx0_dx)
+    dnx0_dy = sy00 + u * (sy10 - sy00)
+    dnx1_dy = sy01 + u * (sy11 - sy01)
+    dh_dy = dnx0_dy + v * (dnx1_dy - dnx0_dy) + dv * (nx1 - nx0)
+    return h, dh_dx, dh_dy
+
+
+class PerlinGround(struct.PyTreeNode):
+    """Analytic fractal Perlin terrain — height, gradient and normal are
+    pure lane math (int hash + selects + FMA, NO permutation-table
+    gather), so the query runs *inside* the whole-substep Pallas kernel
+    exactly like FourierGround/StairsGround.
+
+    This is the TPU-native twin of the reference's RandomPerlinProcess
+    ground (SURVEY.md §2.1 "Random / terrain"): same construction
+    (lattice gradient noise, quintic fade, octave ladder with halving
+    amplitudes) with the permutation table replaced by an arithmetic
+    int32 hash — statistically equivalent terrain, gather-free. The
+    table-based ``utils.random.PerlinNoise`` remains for reference-RNG
+    parity fixtures; grid terrains remain via ``HeightmapGround``.
+
+    ``seed``/``freq``/``amp`` are pytree leaves: a vmapped caller passes
+    per-env values for terrain domain randomization (each env resamples
+    its own ground at reset). ``seed`` is an integer carried in float32
+    (exact up to 2²⁴ — the kernel input block is a single f32 matrix).
+
+    octaves is static (baked into the compiled query)."""
+
+    seed: jax.Array  # () float32 carrying an integer in [0, 2^24)
+    freq: jax.Array  # () base lattice frequency = 1/wavelength
+    amp: jax.Array  # () height std of the full fBm sum
+    octaves: int = struct.field(pytree_node=False, default=3)
+
+    @property
+    def _norm(self) -> float:
+        """fBm normalization: per-octave weights 2⁻ᵒ, unit process std."""
+        import math
+
+        s = sum((0.5**o) ** 2 for o in range(self.octaves))
+        return 1.0 / (_PERLIN_OCTAVE_STD * math.sqrt(s))
+
+    def query(self, xy: jax.Array) -> tuple[jax.Array, jax.Array]:
+        x, y = xy[..., 0], xy[..., 1]
+        seed = self.seed.astype(jnp.int32)
+        scale = self.amp * self._norm
+        h = jnp.zeros_like(x)
+        gx = jnp.zeros_like(x)
+        gy = jnp.zeros_like(x)
+        for o in range(self.octaves):
+            f_o = self.freq * (2.0**o)
+            w_o = scale * (0.5**o)
+            ho, gxo, gyo = _perlin_octave(
+                x * f_o, y * f_o, seed + jnp.int32(1013 * o)
+            )
+            h = h + w_o * ho
+            gx = gx + w_o * f_o * gxo
+            gy = gy + w_o * f_o * gyo
+        n = jnp.stack([-gx, -gy, jnp.ones_like(h)], axis=-1)
+        n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+        return h, n
+
+
+def sample_perlin_ground(
+    key: jax.Array,
+    amplitude: float = 0.08,
+    wavelength: float = 1.5,
+    octaves: int = 3,
+) -> PerlinGround:
+    """Random analytic Perlin ground (jittable — call inside ``reset``
+    for per-env terrain). ``amplitude`` ≈ process std in meters (same
+    convention as ``sample_fourier_ground``'s amplitude/√2... the fBm
+    sum is normalized to std ≈ amplitude)."""
+    seed = jax.random.randint(key, (), 0, 1 << 24)
+    return PerlinGround(
+        seed=seed.astype(jnp.float32),
+        freq=jnp.float32(1.0 / wavelength),
+        amp=jnp.float32(amplitude),
+        octaves=octaves,
+    )
+
+
 class StairsGround(struct.PyTreeNode):
     """Analytic staircase rising along +x: ``h(x, y) = step_height ·
     clip(k + clip((u − k·w)/ramp, 0, 1), 0, n_steps)`` with

@@ -39,7 +39,9 @@ class ANYmalEnv(WalkerEnv):
         target_speed: float = 0.8,
         pgs_iters: int = 8,
         reset_noise: float = 0.1,
-        # None/"flat" | "perlin" (shared heightmap, chain kernel) |
+        # None/"flat" | "perlin" (PER-ENV analytic hash-Perlin ground,
+        # whole-substep kernel) | "perlin_grid" (shared bilinear
+        # heightmap — the reference's discretized form; chain kernel) |
         # "stairs" (analytic StairsGround, whole-substep kernel) |
         # "fourier" (PER-ENV random rough ground resampled each episode,
         # whole-substep kernel)
@@ -72,6 +74,14 @@ class ANYmalEnv(WalkerEnv):
                     wavelength=terrain_wavelength, octaves=3,
                 )
         elif terrain == "perlin":
+            from jiminy_tpu.engine.ground import sample_perlin_ground
+
+            def ground_sampler(key):
+                return sample_perlin_ground(
+                    key, amplitude=terrain_amplitude,
+                    wavelength=terrain_wavelength, octaves=3,
+                )
+        elif terrain == "perlin_grid":
             from jiminy_tpu.engine.terrain import perlin_ground
 
             ground = perlin_ground(

@@ -232,9 +232,13 @@ class SubstepSpec:
         # Mosaic lowers poorly).
         # "stairs": StairsGround — analytic staircase from a 5-float
         # per-env parameter vector (floor/clip lane math, no gather).
+        # "perlin": PerlinGround — analytic fractal gradient noise from a
+        # 3-float per-env parameter vector [seed, freq, amp] (int32 hash
+        # + selects, no permutation-table gather); octave count is baked
+        # via n_fourier (reused as the static term count).
         # Reference: ground profile queried by the contact pipeline
         # (SURVEY.md §2.1 "Contact model" / "Random / terrain").
-        if ground_mode not in ("flat", "fourier", "stairs"):
+        if ground_mode not in ("flat", "fourier", "stairs", "perlin"):
             raise ValueError(f"unknown ground_mode {ground_mode!r}")
         self.ground_mode = ground_mode
         self.n_fourier = int(n_fourier)
@@ -266,6 +270,8 @@ class SubstepSpec:
             return 4 * self.n_fourier
         if self.ground_mode == "stairs":
             return 5
+        if self.ground_mode == "perlin":
+            return 3  # [seed, freq, amp]; octaves static in n_fourier
         return 0
 
 
@@ -826,6 +832,85 @@ def _ground_query(spec: SubstepSpec, gc_ref):
                 h = h + g_amp[j] * s
                 gx = gx + g_amp[j] * g_kx[j] * c
                 gy = gy + g_amp[j] * g_ky[j] * c
+            return h, gx, gy
+
+        return gq
+    if spec.ground_mode == "perlin":
+        # [seed, freq, amp]: analytic fBm gradient noise — same math as
+        # engine/ground.py PerlinGround.query (hash/fade/corner dots),
+        # here on lane values; CLAUDE.md rule 8 applies (no fancy
+        # getitems), but everything is elementwise so nothing to split
+        from jiminy_tpu.engine.ground import (
+            _PERLIN_OCTAVE_STD,
+        )
+
+        seed_f, freq, amp = (gc_ref[j, 0] for j in range(3))
+        seed = seed_f.astype(jnp.int32)
+        octaves = spec.n_fourier
+        s = sum((0.5**o) ** 2 for o in range(octaves))
+        norm = 1.0 / (_PERLIN_OCTAVE_STD * float(np.sqrt(s)))
+        h0 = float(spec.ground_height)
+
+        def hash2(ix, iy, sd):
+            hh = (
+                ix * jnp.int32(0x27D4EB2D)
+                + iy * jnp.int32(0x165667B1)
+                + sd
+            )
+            hh = hh ^ ((hh >> 15) & jnp.int32(0x1FFFF))
+            hh = hh * jnp.int32(0x2545F491)
+            hh = hh ^ ((hh >> 13) & jnp.int32(0x7FFFF))
+            return hh
+
+        def octave(px, py, sd):
+            ix = jnp.floor(px)
+            iy = jnp.floor(py)
+            xf = px - ix
+            yf = py - iy
+            ixi = ix.astype(jnp.int32)
+            iyi = iy.astype(jnp.int32)
+
+            def corner(di, dj):
+                hh = hash2(ixi + di, iyi + dj, sd)
+                sx = jnp.where((hh & 1) == 0, 1.0, -1.0)
+                sy = jnp.where((hh & 2) == 0, 1.0, -1.0)
+                return sx * (xf - di) + sy * (yf - dj), sx, sy
+
+            n00, sx00, sy00 = corner(0, 0)
+            n10, sx10, sy10 = corner(1, 0)
+            n01, sx01, sy01 = corner(0, 1)
+            n11, sx11, sy11 = corner(1, 1)
+            u = xf * xf * xf * (xf * (xf * 6.0 - 15.0) + 10.0)
+            v = yf * yf * yf * (yf * (yf * 6.0 - 15.0) + 10.0)
+            tu = xf * (xf - 1.0)
+            tv = yf * (yf - 1.0)
+            du = 30.0 * tu * tu
+            dv = 30.0 * tv * tv
+            nx0 = n00 + u * (n10 - n00)
+            nx1 = n01 + u * (n11 - n01)
+            hval = nx0 + v * (nx1 - nx0)
+            dnx0_dx = sx00 + u * (sx10 - sx00) + du * (n10 - n00)
+            dnx1_dx = sx01 + u * (sx11 - sx01) + du * (n11 - n01)
+            gx = dnx0_dx + v * (dnx1_dx - dnx0_dx)
+            dnx0_dy = sy00 + u * (sy10 - sy00)
+            dnx1_dy = sy01 + u * (sy11 - sy01)
+            gy = dnx0_dy + v * (dnx1_dy - dnx0_dy) + dv * (nx1 - nx0)
+            return hval, gx, gy
+
+        def gq(px, py):
+            scale = amp * norm
+            h = jnp.full_like(px, jnp.float32(h0))
+            gx = jnp.zeros_like(px)
+            gy = jnp.zeros_like(px)
+            for o in range(octaves):
+                f_o = freq * float(2.0**o)
+                w_o = scale * float(0.5**o)
+                ho, gxo, gyo = octave(
+                    px * f_o, py * f_o, seed + jnp.int32(1013 * o)
+                )
+                h = h + w_o * ho
+                gx = gx + w_o * f_o * gxo
+                gy = gy + w_o * f_o * gyo
             return h, gx, gy
 
         return gq
