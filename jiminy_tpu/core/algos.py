@@ -19,6 +19,8 @@ All functions take a single-robot (unbatched) ``q``/``v``; callers vmap.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -31,6 +33,29 @@ from jiminy_tpu.math.spatial import (
     motion_cross,
     motion_cross_force,
 )
+
+
+def f32_matmul(fn):
+    """Force TRUE-f32 matmul precision while tracing ``fn`` (TPU fix).
+
+    The TPU backend lowers f32 matmuls to bf16 MXU passes by default;
+    under ``vmap`` the per-body 3×3 matvecs become batched matmuls and
+    vmapped FK on a real chip drifts ~1e-3 m from the CPU/f64 truth —
+    enough to flip contact activation and inject phantom O(100 N)
+    impulses (round-3 diagnosis: the vmapped XLA impulse path on TPU
+    produced a 400 N contact on a foot 0.2 mm ABOVE the ground while
+    the all-Pallas substep kernel, which does explicit f32 FMAs, was
+    exact; `jax.default_matmul_precision("highest")` restores 1e-7
+    agreement). Robot-scale matmuls are a negligible FLOP fraction, so
+    full precision costs nothing here; the RL learner's MLPs live
+    outside the engine and keep the fast bf16 default."""
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapped
 
 
 def _axis_angle_matrix(axis: jax.Array, angle: jax.Array) -> jax.Array:
@@ -85,6 +110,7 @@ def motion_subspace(tree: KinematicTree, i: int, dtype) -> jax.Array:
     raise ValueError(f"unsupported joint type {t}")
 
 
+@f32_matmul
 def _local_transforms(tree: KinematicTree, q: jax.Array) -> list[Transform]:
     """X_λi: pose of body i in its parent's frame, for every body."""
     return [
@@ -93,6 +119,7 @@ def _local_transforms(tree: KinematicTree, q: jax.Array) -> list[Transform]:
     ]
 
 
+@f32_matmul
 def forward_kinematics(tree: KinematicTree, q: jax.Array) -> list[Transform]:
     """World pose of every body frame."""
     xl = _local_transforms(tree, q)
@@ -103,6 +130,7 @@ def forward_kinematics(tree: KinematicTree, q: jax.Array) -> list[Transform]:
     return xw
 
 
+@f32_matmul
 def kinematics(
     tree: KinematicTree, q: jax.Array, v: jax.Array, xl=None
 ) -> tuple[list[Transform], list[jax.Array]]:
@@ -124,6 +152,7 @@ def kinematics(
     return xw, vel
 
 
+@f32_matmul
 def frame_kinematics(
     tree: KinematicTree,
     xw: list[Transform],
@@ -144,6 +173,7 @@ def frame_kinematics(
     return poses, (lvs if vel is not None else None)
 
 
+@f32_matmul
 def body_accelerations(
     tree: KinematicTree,
     q: jax.Array,
@@ -187,6 +217,7 @@ def body_accelerations(
     return xw, vel, acc
 
 
+@f32_matmul
 def rnea(
     tree: KinematicTree,
     q: jax.Array,
@@ -241,6 +272,7 @@ def rnea(
     return tau + tree.armature * a
 
 
+@f32_matmul
 def crba(tree: KinematicTree, q: jax.Array, xl=None) -> jax.Array:
     """Composite-rigid-body mass matrix with armature on the diagonal."""
     dtype = q.dtype
@@ -280,6 +312,7 @@ def _force_mat(x: Transform) -> jax.Array:
     return jnp.block([[R, pR], [z, R]])
 
 
+@f32_matmul
 def aba(
     tree: KinematicTree,
     q: jax.Array,
@@ -355,6 +388,7 @@ def aba(
     return qdd
 
 
+@f32_matmul
 def integrate(tree: KinematicTree, q: jax.Array, v: jax.Array, dt) -> jax.Array:
     """Lie-group configuration integration q ⊕ v·dt (Pinocchio semantics:
     quaternion joints use the exponential map with local-frame tangents;
@@ -404,6 +438,7 @@ def integrate(tree: KinematicTree, q: jax.Array, v: jax.Array, dt) -> jax.Array:
     return out
 
 
+@f32_matmul
 def difference(tree: KinematicTree, q1: jax.Array, q2: jax.Array) -> jax.Array:
     """Tangent-space difference q2 ⊖ q1 (shape (nv,)); inverse of
     ``integrate`` on the manifold."""
@@ -430,6 +465,7 @@ def difference(tree: KinematicTree, q1: jax.Array, q2: jax.Array) -> jax.Array:
     return dv
 
 
+@f32_matmul
 def point_jacobian(
     tree: KinematicTree,
     xw: list[Transform],
@@ -454,6 +490,7 @@ def point_jacobian(
     return J
 
 
+@f32_matmul
 def frame_jacobian6(
     tree: KinematicTree,
     xw: list[Transform],
@@ -477,6 +514,7 @@ def frame_jacobian6(
     return J
 
 
+@f32_matmul
 def com_position(tree: KinematicTree, xw: list[Transform]) -> jax.Array:
     """Whole-body center of mass in world frame."""
     total_m = 0.0
@@ -491,6 +529,7 @@ def com_position(tree: KinematicTree, xw: list[Transform]) -> jax.Array:
     return weighted / total_m
 
 
+@f32_matmul
 def energy(tree: KinematicTree, q: jax.Array, v: jax.Array) -> tuple[jax.Array, jax.Array]:
     """(kinetic, potential) energy — the reference engine telemeters both
     (SURVEY.md §2.1 "Engine": energy monitoring)."""

@@ -86,6 +86,19 @@ class EngineOptions:
     # steady-state penetration down to the slop
     contact_max_correction_vel: float = 0.2
     contact_slop: float = 1e-3
+    # constraint-contact activation margin (m): rows activate at
+    # depth > −margin with a velocity-barrier target depth/dt (the point
+    # may approach the surface this substep but not cross it) instead of
+    # a hard depth > 0 flip. Continuous activation — without it, f32
+    # noise between backends near grazing contact flips the active set
+    # and injects O(1) impulse differences (measured: the whole-substep
+    # kernel on real TPU vs XLA differed by up to 65 rad/s after one env
+    # step at touchdown states, traced to exactly this knife edge; the
+    # reference smooths the same edge via transitionEps,
+    # SURVEY.md §2.1 "Contact model"). Also absorbs impacts at the
+    # velocity level up to one substep early instead of via a
+    # penetration spike.
+    contact_margin: float = 5e-3
     # dense-solve backend for the impulse path:
     #   "pallas" — the batch-lane VMEM-resident kernel in
     #     ops/constraint_solve.py, engaged under vmap via custom_vmap.
@@ -278,12 +291,14 @@ class Engine:
             self.options.constraint_solver == "auto"
             and self._solver_backend == "pallas"
             and self._use_impulse
-            # closed-loop robots stay on the chain kernel by default:
-            # hard equality rows are the most reassociation-sensitive
-            # path (a Cassie policy trained on XLA evaluated at 3.1%
-            # falls on the substep kernel vs 0.8% on the chain kernel);
-            # opt in explicitly with "pallas_substep" — ~3× rollout
-            and not self.constraints
+            # closed-loop robots (DistanceConstraint equality rows) ride
+            # this kernel too since round 3: the r1/r2 "kernel eval gap"
+            # was the bf16-matmul corruption of the vmapped XLA/chain
+            # paths on TPU (algos.f32_matmul) plus the contact-
+            # activation knife edge (EngineOptions.contact_margin), not
+            # a kernel defect — post-fix the backends agree to 1e-4
+            # over 10 Cassie substeps on the real chip
+            # (docs/tpu_performance.md "Closed-loop numerics")
         ):
             # auto on TPU: whole-substep kernel when the config is in
             # scope (flat ground, euler, no flex), else the chain
@@ -653,6 +668,7 @@ class Engine:
             tau = tau.at[tree.v_slice(i)].add(-k * err)
         return tau
 
+    @algos.f32_matmul  # TPU: bf16 default matmuls corrupt vmapped FK
     def dynamics(
         self,
         q: jax.Array,
@@ -853,10 +869,17 @@ class Engine:
             alpha = cstr.baumgarte_alpha(
                 jnp.float32(opts.contact_baumgarte_freq), dt
             )
-            v_corr = jnp.clip(
-                alpha / dt * (depth - opts.contact_slop),
-                0.0,
-                opts.contact_max_correction_vel,
+            # penetrating: Baumgarte pushback; hovering within the
+            # margin: may approach the surface but not cross it this
+            # substep (continuous activation — see contact_margin)
+            v_corr = jnp.where(
+                depth > 0.0,
+                jnp.clip(
+                    alpha / dt * (depth - opts.contact_slop),
+                    0.0,
+                    opts.contact_max_correction_vel,
+                ),
+                depth / dt,
             )
             n0 = len(range(0, tree.ncp, 2))
             contact_colors = [
@@ -871,7 +894,9 @@ class Engine:
                 targets.append(
                     jnp.array([0.0, 0.0, 1.0], q.dtype) * v_corr[k]
                 )
-                actives.append(jnp.repeat(depth[k] > 0.0, 3))
+                actives.append(
+                    jnp.repeat(depth[k] > -opts.contact_margin, 3)
+                )
                 mu_parts.append(
                     jnp.broadcast_to(
                         jnp.asarray(cparams.friction, q.dtype), (3,)
@@ -956,6 +981,7 @@ class Engine:
         )
 
     # -- stepping ----------------------------------------------------------
+    @algos.f32_matmul  # TPU: bf16 default matmuls corrupt vmapped FK
     def step(
         self,
         state: SimState,

@@ -650,11 +650,18 @@ def _substep_math(spec: SubstepSpec, q, v, tau, lam0, gq,
     alpha = min(
         2.0 * np.pi * float(opts.contact_baumgarte_freq) * dt, 1.0
     )
+    # penetrating: Baumgarte pushback; hovering within contact_margin:
+    # velocity barrier depth/dt (continuous activation — mirrors
+    # engine._impulse_substep; see EngineOptions.contact_margin)
     v_corr = [
-        jnp.clip(
-            (alpha / dt) * (depth[k] - float(opts.contact_slop)),
-            0.0,
-            float(opts.contact_max_correction_vel),
+        jnp.where(
+            depth[k] > 0.0,
+            jnp.clip(
+                (alpha / dt) * (depth[k] - float(opts.contact_slop)),
+                0.0,
+                float(opts.contact_max_correction_vel),
+            ),
+            depth[k] * (1.0 / dt),
         )
         for k in range(ncp)
     ]
@@ -715,7 +722,9 @@ def _substep_math(spec: SubstepSpec, q, v, tau, lam0, gq,
             rows_J.append(Jk[0])
             rows_J.append(Jk[2])
         target.extend([zero, zero, v_corr[k]])
-        a_k = jnp.where(depth[k] > 0.0, 1.0, 0.0)
+        a_k = jnp.where(
+            depth[k] > -float(opts.contact_margin), 1.0, 0.0
+        )
         active.extend([a_k, a_k, a_k])
 
     nc = len(rows_J)

@@ -199,6 +199,35 @@ class TestConstraintContacts:
         fz = float(jnp.sum(st.contact_forces[:, 2]))
         assert abs(fz - 9.81) < 0.5
 
+    def test_contact_margin_velocity_barrier(self):
+        """Continuous contact activation: a box whose corners hover just
+        above the ground (inside contact_margin) and descend fast is
+        stopped AT the surface within the substep — no penetration spike
+        and no knife-edge active-set flip (the backend-divergence source
+        fixed in round 3: depth>0 activation flipped on f32 noise)."""
+        tree = make_free_box(mass=1.0, half_extents=(0.1, 0.1, 0.1))
+        dt = 5e-3
+        engine = Engine(
+            tree,
+            EngineOptions(
+                dt=dt, contact_model="constraint", pgs_iters=16,
+                contact_margin=5e-3,
+            ),
+        )
+        # corners 2 mm above ground, descending 1 m/s (5 mm per substep)
+        q0 = tree.neutral_q().at[2].set(0.102)
+        v0 = jnp.zeros(tree.nv).at[2].set(-1.0)
+        st = engine.step(engine.reset(q=q0, v=v0), jnp.zeros(tree.nv))
+        # barrier: corner may reach the surface but not cross it
+        assert float(st.q[2]) > 0.1 - 1e-4, float(st.q[2])
+        # and it actually moved down to (numerically at) the surface
+        assert float(st.q[2]) < 0.1005, float(st.q[2])
+        # outside the margin nothing activates: same drop from higher up
+        q1 = tree.neutral_q().at[2].set(0.12)
+        st1 = engine.step(engine.reset(q=q1, v=v0), jnp.zeros(tree.nv))
+        assert float(jnp.max(st1.contact_forces[:, 2])) == 0.0
+        assert float(st1.v[2]) < -1.0  # still in free fall
+
     def test_friction_cone_holds_static(self):
         tree = make_free_box(mass=1.0, half_extents=(0.1, 0.1, 0.1))
         engine = Engine(

@@ -9,6 +9,7 @@ import pytest
 
 @pytest.fixture(scope="module")
 def perlin_env():
+    """Analytic per-env hash-Perlin terrain (terrain='perlin')."""
     from jiminy_tpu.envs import ANYmalEnv
 
     return ANYmalEnv(
@@ -17,8 +18,12 @@ def perlin_env():
 
 
 class TestTerrainSpawn:
-    def test_spawns_spread_and_on_ground(self, perlin_env):
-        env = perlin_env
+    def test_grid_spawns_spread_and_on_ground(self):
+        """Shared grid heightmap ('perlin_grid'): random spawn disk over
+        the map, base height leveled to the local terrain."""
+        from jiminy_tpu.envs import ANYmalEnv
+
+        env = ANYmalEnv(terrain="perlin_grid", max_steps=50)
         B = 8
         states = jax.jit(jax.vmap(env.reset))(
             jax.random.split(jax.random.PRNGKey(0), B)
@@ -28,6 +33,24 @@ class TestTerrainSpawn:
         # base height tracks local terrain height
         h, _ = env.engine.ground.query(states.sim.q[:, :2])
         rel = np.asarray(states.sim.q[:, 2]) - np.asarray(h)
+        np.testing.assert_allclose(rel, rel[0], atol=0.02)
+
+    def test_perlin_per_env_terrain_on_ground(self, perlin_env):
+        """Analytic per-env Perlin ('perlin'): every env gets its OWN
+        random ground (distinct seeds) and spawns leveled to it."""
+        env = perlin_env
+        B = 8
+        states = jax.jit(jax.vmap(env.reset))(
+            jax.random.split(jax.random.PRNGKey(0), B)
+        )
+        grounds = states.info["ground"]
+        seeds = np.asarray(grounds.seed)
+        assert len(np.unique(seeds)) > 4  # terrains actually differ
+        rel = []
+        for i in range(B):
+            g = jax.tree.map(lambda x: x[i], grounds)
+            h, _ = g.query(states.sim.q[i, :2])
+            rel.append(float(states.sim.q[i, 2]) - float(h))
         np.testing.assert_allclose(rel, rel[0], atol=0.02)
 
     def test_steps_on_terrain_stay_finite(self, perlin_env):
