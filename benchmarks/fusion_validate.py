@@ -20,8 +20,11 @@ WalkerEnv's default options) and re-run bench.py.
 
 from __future__ import annotations
 
+import pathlib
 import sys
 import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 import numpy as np
 

@@ -1,8 +1,9 @@
-"""Rough-terrain rollout throughput: per-env Fourier ground on the
-whole-substep kernel vs the shared Perlin heightmap on the chain kernel.
+"""Rough-terrain rollout throughput: per-env analytic terrains
+(Fourier/Perlin/stairs) on the whole-substep kernel vs the shared grid
+Perlin heightmap on the chain kernel.
 
-VERDICT r1 #4 target: the Fourier/substep path ≥3× the chain-kernel
-heightmap number, so terrain-randomized training (SURVEY.md §2.4 random
+VERDICT r1 #4 target: the analytic-Perlin/substep path ≥3× the
+chain-kernel grid-heightmap number, so terrain-randomized training (SURVEY.md §2.4 random
 ground) rides the fast path.
 
 Usage: python benchmarks/terrain_bench.py [batch]
@@ -11,8 +12,11 @@ Usage: python benchmarks/terrain_bench.py [batch]
 from __future__ import annotations
 
 import json
+import pathlib
 import sys
 import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 import jax
 import jax.numpy as jnp
@@ -55,7 +59,8 @@ def main() -> None:
         envs = {
             "fourier_substep_kernel": ANYmalEnv(terrain="fourier"),
             "stairs_substep_kernel": ANYmalEnv(terrain="stairs"),
-            "perlin_chain_kernel": ANYmalEnv(terrain="perlin"),
+            "perlin_substep_kernel": ANYmalEnv(terrain="perlin"),
+            "perlin_grid_chain_kernel": ANYmalEnv(terrain="perlin_grid"),
         }
     results = {}
     for name, env in envs.items():
@@ -71,10 +76,15 @@ def main() -> None:
                 "stairs_substep_kernel": round(
                     results["stairs_substep_kernel"]
                 ),
-                "perlin_chain_kernel": round(results["perlin_chain_kernel"]),
+                "perlin_substep_kernel": round(
+                    results["perlin_substep_kernel"]
+                ),
+                "perlin_grid_chain_kernel": round(
+                    results["perlin_grid_chain_kernel"]
+                ),
                 "speedup": round(
-                    results["fourier_substep_kernel"]
-                    / results["perlin_chain_kernel"],
+                    results["perlin_substep_kernel"]
+                    / results["perlin_grid_chain_kernel"],
                     2,
                 ),
             }
