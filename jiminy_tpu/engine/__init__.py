@@ -14,8 +14,11 @@ from jiminy_tpu.engine.ground import (
     sample_fourier_ground,
 )
 from jiminy_tpu.engine.contact import ContactParams
+from jiminy_tpu.engine.randomization import ModelParams, ModelRandomization
 
 __all__ = [
+    "ModelParams",
+    "ModelRandomization",
     "Engine",
     "EngineOptions",
     "PDController",

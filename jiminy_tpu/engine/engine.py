@@ -624,14 +624,18 @@ class Engine:
         return self._bounded_cache_
 
     def _joint_torque(
-        self, u: jax.Array, q: jax.Array, v: jax.Array, t: jax.Array
+        self, u: jax.Array, q: jax.Array, v: jax.Array, t: jax.Array,
+        motors=None,
     ) -> jax.Array:
         """Command → total actuation torque: inner-loop controller, motor
         model (if attached), joint damping, bound penalties, internal-
-        dynamics hook (SURVEY.md §3.1: motor model + internal dynamics)."""
+        dynamics hook (SURVEY.md §3.1: motor model + internal dynamics).
+        ``motors`` optionally overrides the engine's bank (per-env motor
+        randomization — engine/randomization.py)."""
         if self.controller is not None:
             u = self.controller(u, q, v, t)
-        tau = self.motors.compute_effort(u, v) if self.motors is not None else u
+        motors = motors if motors is not None else self.motors
+        tau = motors.compute_effort(u, v) if motors is not None else u
         tau = tau - self.tree.damping * v + self._spring_torques(q)
         if self._bounds_mode() == "penalty":
             tau = tau + self._bound_torques(q, v)
@@ -678,11 +682,24 @@ class Engine:
         ground,
         fext_user: jax.Array | None = None,
         contact_params=None,
+        model_params=None,
     ) -> tuple[jax.Array, jax.Array]:
         """Full system dynamics: (q, v, t, command u) → (a, contact
         forces). This is the reference's ``computeSystemsDynamics`` body
-        (SURVEY.md §3.1 hot loop)."""
+        (SURVEY.md §3.1 hot loop). ``model_params`` (an
+        engine/randomization.ModelParams) perturbs the inertial/motor
+        constants per env — pass batched leaves under vmap."""
         tree = self.tree
+        # inertial randomization touches only the CRBA/RNEA inputs —
+        # kinematics/Jacobians are geometric and stay on the nominal tree
+        tree_dyn = (
+            model_params.apply_to_tree(tree)
+            if model_params is not None else tree
+        )
+        motors_rt = (
+            model_params.apply_to_motors(self.motors)
+            if model_params is not None else None
+        )
         cparams = (
             contact_params if contact_params is not None
             else self.options.contacts
@@ -698,12 +715,12 @@ class Engine:
             )
         if fext_user is not None:
             fext = fext + fext_user
-        tau = self._joint_torque(u, q, v, t)
+        tau = self._joint_torque(u, q, v, t, motors=motors_rt)
         # forward dynamics via mass-matrix factorization: measurably faster
         # than the ABA sweep on TPU at robot sizes (see math/linalg.py);
         # algos.aba remains the reference implementation for testing
-        M = algos.crba(tree, q)
-        bias = algos.rnea(tree, q, v, jnp.zeros_like(v), fext)
+        M = algos.crba(tree_dyn, q)
+        bias = algos.rnea(tree_dyn, q, v, jnp.zeros_like(v), fext)
         a = linalg.solve_psd(M, tau - bias)
         return a, f_contact
 
@@ -719,6 +736,7 @@ class Engine:
         lam0: jax.Array | None = None,
         contact_params=None,
         base_wrench: jax.Array | None = None,
+        model_params=None,
     ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
         """One semi-implicit Euler substep with velocity-level PGS impulses
         for kinematic constraints and (if contact_model == "constraint")
@@ -734,11 +752,14 @@ class Engine:
         dt = self.options.dt
         opts = self.options
 
-        # whole-substep Pallas fast path (one kernel launch per substep)
+        # whole-substep Pallas fast path (one kernel launch per substep).
+        # model_params forces the XLA path: the kernel bakes inertial
+        # constants at build time (see engine/randomization.py docstring)
         if (
             self._substep_fn is not None
             and fext_user is None
             and contact_params is None
+            and model_params is None
             and self._kernel_ground_ok(ground)
         ):
             tau = self._joint_torque(u, q, v, t)
@@ -775,7 +796,16 @@ class Engine:
         xl = algos._local_transforms(tree, q)
         xw, vel = algos.kinematics(tree, q, v, xl=xl)
 
-        tau = self._joint_torque(u, q, v, t)
+        # per-env inertial/motor randomization (engine/randomization.py):
+        # only the CRBA/RNEA inputs and the motor bank change — geometry
+        # (kinematics, Jacobians, integrate) stays on the nominal tree
+        tree_dyn = tree
+        motors_rt = None
+        if model_params is not None:
+            tree_dyn = model_params.apply_to_tree(tree)
+            motors_rt = model_params.apply_to_motors(self.motors)
+
+        tau = self._joint_torque(u, q, v, t, motors=motors_rt)
 
         fext = fext_user
         if self.forces:
@@ -799,9 +829,9 @@ class Engine:
         # backward-Euler-in-(C,K) scheme, unconditionally stable for stiff
         # flexibility (the reference relies on its adaptive stepper there;
         # fixed-step SPMD needs this instead, SURVEY.md §7 hard-parts).
-        M = algos.crba(tree, q, xl=xl)
+        M = algos.crba(tree_dyn, q, xl=xl)
         M = M + jnp.diag(dt * tree.damping + dt * dt * tree.stiffness)
-        bias = algos.rnea(tree, q, v, jnp.zeros_like(v), fext, xl=xl)
+        bias = algos.rnea(tree_dyn, q, v, jnp.zeros_like(v), fext, xl=xl)
         tau_act = tau  # applied actuation torque (effort-sensor truth)
         tau = tau - dt * tree.stiffness * v
         p_free = tau - bias
@@ -991,6 +1021,7 @@ class Engine:
         fext_user: jax.Array | None = None,
         contact_params=None,
         base_wrench: jax.Array | None = None,
+        model_params=None,
     ) -> SimState:
         """Advance by ``n_substeps × options.dt`` with zero-order-hold
         command ``u`` (nv,). Pure; jit/vmap-able. ``contact_params``
@@ -1000,7 +1031,9 @@ class Engine:
         wrench on the root body held over the step (push disturbances —
         reference: registerImpulseForce on the base). Unlike the generic
         ``fext_user`` (nb, 6), it stays on the whole-substep kernel
-        paths."""
+        paths. ``model_params`` (engine/randomization.ModelParams)
+        perturbs inertial/motor constants per env — XLA path only (the
+        kernels bake those constants; silent fallback, same physics)."""
         ground = ground if ground is not None else self.ground
         dt = self.options.dt
         stepper = self._stepper
@@ -1019,6 +1052,7 @@ class Engine:
             and self._substep_spec.torque is not None
             and fext_user is None
             and contact_params is None
+            and model_params is None
             and self._kernel_ground_ok(ground)
         ):
             fn = self._get_multi_substep_fn(n_substeps)
@@ -1060,6 +1094,7 @@ class Engine:
                         q, v, t, u, ground, fext_user, lam0=lam,
                         contact_params=contact_params,
                         base_wrench=base_wrench,
+                        model_params=model_params,
                     )
                 )
                 return (q, v, t + dt, f_c, res, lam, a, tau), None
@@ -1096,7 +1131,8 @@ class Engine:
 
         def dyn(q, v, t):
             a, _ = self.dynamics(
-                q, v, t, u, ground, fext_user, contact_params=cparams
+                q, v, t, u, ground, fext_user, contact_params=cparams,
+                model_params=model_params,
             )
             return a
 
@@ -1112,9 +1148,16 @@ class Engine:
         # accepted acceleration feed telemetry/sensors (IMU accelerometers,
         # effort sensors; VERDICT r1 weak #1)
         a, f_contact = self.dynamics(
-            q, v, t, u, ground, fext_user, contact_params=cparams
+            q, v, t, u, ground, fext_user, contact_params=cparams,
+            model_params=model_params,
         )
-        tau = self._joint_torque(u, q, v, t)
+        tau = self._joint_torque(
+            u, q, v, t,
+            motors=(
+                model_params.apply_to_motors(self.motors)
+                if model_params is not None else None
+            ),
+        )
         return SimState(
             t=t, q=q, v=v, contact_forces=f_contact,
             solver_residual=jnp.zeros((), q.dtype), lam=state.lam,

@@ -147,6 +147,19 @@ class BaseEnv:
     def _action_to_command(self, action: jax.Array, sim: SimState) -> jax.Array:
         raise NotImplementedError
 
+    def _model_params(self, info: dict):
+        """Optional per-env engine/randomization.ModelParams passed to
+        ``engine.step`` — the hook for inertial/motor domain
+        randomization (sampled into ``info`` on reset so auto-reset
+        resamples per episode). Return None for the nominal model."""
+        return None
+
+    def _sensor_bias(self, info: dict):
+        """Optional per-env additive sensor-bias offsets (tuple of
+        (ns, dim), one per sensor group) — the calibration-error axis of
+        domain randomization."""
+        return None
+
     def _external_forces(self, state: "EnvState") -> jax.Array | None:
         """Optional (nb, 6) local spatial wrenches applied during the next
         step — the hook for push disturbances / force profiles (reference:
@@ -198,7 +211,9 @@ class BaseEnv:
         sim = self.engine.reset(q=q, v=v)
         info = {**self._init_info(k_state)}
         if self.sensors is not None:
-            info["sensor_bufs"] = self.sensors.reset(k_sens, q, v)
+            info["sensor_bufs"] = self.sensors.reset(
+                k_sens, q, v, bias_extra=self._sensor_bias(info)
+            )
         obs = self._make_obs(sim, k_obs, info)
         return EnvState(
             sim=sim,
@@ -220,11 +235,12 @@ class BaseEnv:
         fext = self._external_forces(state)
         bw = self._base_wrench(state)
         gnd = self._step_ground(state.info)
+        mp = self._model_params(state.info)
         sensor_info = {}
         if self.sensors is None:
             sim = self.engine.step(
                 state.sim, u, n_substeps=self.n_substeps, fext_user=fext,
-                ground=gnd, base_wrench=bw,
+                ground=gnd, base_wrench=bw, model_params=mp,
             )
         else:
             # sensor updates at their own period INSIDE the env step —
@@ -233,15 +249,17 @@ class BaseEnv:
             # (q, v, a, f_contact, tau)
             sim = state.sim
             bufs = state.info["sensor_bufs"]
+            bias_extra = self._sensor_bias(state.info)
             for i in range(self.n_obs_updates):
                 sim = self.engine.step(
                     sim, u, n_substeps=self.n_substeps_per_obs,
                     fext_user=fext, ground=gnd, base_wrench=bw,
+                    model_params=mp,
                 )
                 k_sens, k_u = jax.random.split(k_sens)
                 bufs = self.sensors.update(
                     bufs, k_u, sim.q, sim.v, sim.a, sim.contact_forces,
-                    sim.tau,
+                    sim.tau, bias_extra=bias_extra,
                 )
             sensor_info["sensor_bufs"] = bufs
         obs = self._make_obs(sim, k_obs, {**state.info, **sensor_info})

@@ -69,9 +69,16 @@ class WalkerEnv(BaseEnv):
         ground_sampler=None,  # callable key -> FourierGround: per-env terrain
         reward_fn=None,  # compositions.RewardFn: replaces the built-in reward
         termination_fn=None,  # compositions.TerminationFn: replaces built-in
+        model_randomization=None,  # randomization.ModelRandomization
     ):
         self.robot = robot
         self.ground_sampler = ground_sampler
+        # per-episode inertial/motor/sensor randomization (reference:
+        # model randomization hooks, SURVEY.md §2.1 "Model"). Params are
+        # pytree leaves in info → resampled on every auto-reset; the
+        # engine falls back to the XLA path while they are active (the
+        # kernels bake inertial constants — engine/randomization.py).
+        self.model_randomization = model_randomization
         if ground_sampler is not None:
             if ground is not None:
                 raise ValueError("pass ground OR ground_sampler, not both")
@@ -184,6 +191,16 @@ class WalkerEnv(BaseEnv):
         info = {}
         if self.ground_sampler is not None:
             info["ground"] = self._ground_from_key(key)
+        if self.model_randomization is not None:
+            mr = self.model_randomization
+            k_mp, k_sb = jax.random.split(jax.random.fold_in(key, 11))
+            info["model_params"] = mr.sample(
+                k_mp, self.tree, self.robot.motors
+            )
+            if mr.sensor_bias > 0.0 and self.observe_mode == "sensors":
+                info["sensor_bias"] = mr.sample_sensor_bias(
+                    k_sb, self.robot.sensors
+                )
         if self.push_magnitude <= 0.0:
             return info
         return {
@@ -194,6 +211,12 @@ class WalkerEnv(BaseEnv):
 
     def _step_ground(self, info):
         return info.get("ground")
+
+    def _model_params(self, info):
+        return info.get("model_params")
+
+    def _sensor_bias(self, info):
+        return info.get("sensor_bias")
 
     def _update_info(self, prev: EnvState, nxt_sim: SimState, rng) -> dict:
         if self.push_magnitude <= 0.0:

@@ -205,10 +205,16 @@ class SensorSuite:
             raise ValueError(g.type)
         return jnp.stack(rows)
 
-    def _corrupt(self, g: SensorGroup, raw: jax.Array, key) -> jax.Array:
+    def _corrupt(
+        self, g: SensorGroup, raw: jax.Array, key, bias_extra=None
+    ) -> jax.Array:
         """Apply bias + Gaussian noise (reference sensor model order:
-        measurement → bias → noise)."""
-        eps = g.bias + g.noise_std * jax.random.normal(key, g.noise_std.shape)
+        measurement → bias → noise). ``bias_extra`` optionally adds a
+        per-env calibration offset (ns, dim) on top of the spec bias —
+        the sensor axis of domain randomization
+        (engine/randomization.ModelRandomization.sample_sensor_bias)."""
+        bias = g.bias if bias_extra is None else g.bias + bias_extra
+        eps = bias + g.noise_std * jax.random.normal(key, g.noise_std.shape)
         if g.type == "imu":
             # quaternion corrupted by a rotation-vector perturbation
             def rot_one(quat, rv):
@@ -234,7 +240,10 @@ class SensorSuite:
             for g in self.groups
         ]
 
-    def reset(self, key, q, v, a=None, f_contact=None, tau=None) -> tuple:
+    def reset(
+        self, key, q, v, a=None, f_contact=None, tau=None,
+        bias_extra=None,
+    ) -> tuple:
         """Buffers filled with the initial measurement (the reference
         initializes sensor data at Engine.start — SURVEY.md §3.1)."""
         a = jnp.zeros(self.tree.nv) if a is None else a
@@ -243,20 +252,27 @@ class SensorSuite:
             f_contact = jnp.zeros((self.tree.ncp, 3))
         raws = self.measure_all(q, v, a, f_contact, tau)
         bufs = []
-        for g, raw in zip(self.groups, raws):
+        for gi, (g, raw) in enumerate(zip(self.groups, raws)):
             key, k = jax.random.split(key)
-            m = self._corrupt(g, raw, k)
+            be = bias_extra[gi] if bias_extra is not None else None
+            m = self._corrupt(g, raw, k, bias_extra=be)
             bufs.append(jnp.tile(m[:, None, :], (1, g.buf_len, 1)))
         return tuple(bufs)
 
-    def update(self, bufs: tuple, key, q, v, a, f_contact, tau) -> tuple:
+    def update(
+        self, bufs: tuple, key, q, v, a, f_contact, tau,
+        bias_extra=None,
+    ) -> tuple:
         """Push one new (biased, noisy) sample per sensor into the delay
         lines. Call every ``period`` seconds of sim time."""
         raws = self.measure_all(q, v, a, f_contact, tau)
         out = []
-        for g, buf, raw in zip(self.groups, bufs, raws):
+        for gi, (g, buf, raw) in enumerate(
+            zip(self.groups, bufs, raws)
+        ):
             key, k = jax.random.split(key)
-            m = self._corrupt(g, raw, k)
+            be = bias_extra[gi] if bias_extra is not None else None
+            m = self._corrupt(g, raw, k, bias_extra=be)
             buf = jnp.roll(buf, 1, axis=1).at[:, 0, :].set(m)
             out.append(buf)
         return tuple(out)
