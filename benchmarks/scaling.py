@@ -57,6 +57,8 @@ def bench_mesh(env, n_devices: int, per_device: int, iters: int = 10):
 def main():
     per_device = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     env_name = sys.argv[2] if len(sys.argv) > 2 else "anymal"
+    import json
+
     import jiminy_tpu.envs as E
 
     env = {
@@ -66,8 +68,10 @@ def main():
     }[env_name]()
 
     ndev = len(jax.devices())
+    platform = jax.devices()[0].platform
     sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= ndev]
     base = None
+    eff = 1.0
     print(f"devices={ndev} per_device_envs={per_device} env={env_name}")
     for n in sizes:
         sps = bench_mesh(env, n, per_device)
@@ -78,6 +82,24 @@ def main():
             f"weak-scaling eff {eff:6.1%}",
             flush=True,
         )
+    # unattended one-line verdict against BASELINE.md's ≥80% target
+    # (meaningful only on real multi-device hardware: virtual CPU
+    # devices share one socket, so flag that case explicitly)
+    result = {
+        "metric": "weak_scaling_efficiency",
+        "value": round(eff, 4),
+        "unit": "fraction",
+        "n_devices": sizes[-1],
+        "per_device_envs": per_device,
+        "env": env_name,
+        "platform": platform,
+        "target": 0.8,
+        "pass": bool(eff >= 0.8),
+        "hardware_valid": platform != "cpu",
+    }
+    print(json.dumps(result))
+    out = pathlib.Path(__file__).resolve().parents[1] / "SCALING.json"
+    out.write_text(json.dumps(result, indent=1))
 
 
 if __name__ == "__main__":

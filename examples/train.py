@@ -30,9 +30,20 @@ def _solver_options(solver: str):
 
 def make_env(name: str, max_steps: int, terrain=None, push=0.0,
              observe="state", sensor_delay=0.0, imu_noise=0.0,
-             encoder_noise=0.0, mdp="hardcoded", solver=None):
+             encoder_noise=0.0, mdp="hardcoded", solver=None,
+             push_duration=0.1, randomize=None):
     import jiminy_tpu.envs as E
 
+    walker_kwargs = {"push_duration": push_duration}
+    if randomize:
+        from jiminy_tpu.engine import ModelRandomization
+
+        walker_kwargs["model_randomization"] = ModelRandomization(
+            mass_scale=(1 - randomize, 1 + randomize),
+            com_offset=0.02 * randomize / 0.2,
+            inertia_scale=(1 - randomize, 1 + randomize),
+            motor_gain=(1 - randomize / 2, 1 + randomize / 2),
+        )
     if name == "anymal":
         mdp_kwargs = {}
         if mdp == "declarative":
@@ -46,21 +57,33 @@ def make_env(name: str, max_steps: int, terrain=None, push=0.0,
             max_steps=max_steps, terrain=terrain, push_magnitude=push,
             observe=observe, sensor_delay=sensor_delay,
             imu_noise=imu_noise, encoder_noise=encoder_noise,
-            **mdp_kwargs,
+            **mdp_kwargs, **walker_kwargs,
         )
     if name == "cassie":
         return E.CassieEnv(
             sim_dt=2e-3, max_steps=max_steps, target_speed=0.4,
-            push_magnitude=push,
+            push_magnitude=push, observe=observe,
+            sensor_delay=sensor_delay, imu_noise=imu_noise,
+            encoder_noise=encoder_noise,
             **({"engine_options": _solver_options(solver)} if solver else {}),
+            **walker_kwargs,
         )
     if name == "ant":
-        return E.AntEnv(max_steps=max_steps, push_magnitude=push)
+        return E.AntEnv(
+            max_steps=max_steps, push_magnitude=push, **walker_kwargs
+        )
     if name == "spotmicro":
-        return E.SpotmicroEnv(max_steps=max_steps, push_magnitude=push)
+        return E.SpotmicroEnv(
+            max_steps=max_steps, push_magnitude=push, observe=observe,
+            sensor_delay=sensor_delay, imu_noise=imu_noise,
+            encoder_noise=encoder_noise, **walker_kwargs,
+        )
     if name == "atlas":
         return E.AtlasEnv(
-            max_steps=max_steps, target_speed=0.3, push_magnitude=push
+            max_steps=max_steps, target_speed=0.3, push_magnitude=push,
+            observe=observe, sensor_delay=sensor_delay,
+            imu_noise=imu_noise, encoder_noise=encoder_noise,
+            **walker_kwargs,
         )
     if name == "cartpole":
         return E.CartPoleEnv()
@@ -85,10 +108,20 @@ def main():
     )
     ap.add_argument("--push", type=float, default=0.0,
                     help="random push force magnitude (N), walker envs")
+    ap.add_argument("--push-duration", type=float, default=0.1,
+                    help="push duration (s); impulse = push × duration")
+    ap.add_argument("--randomize", type=float, default=None,
+                    help="model domain randomization half-range, e.g. "
+                    "0.2 → mass/inertia ±20%%, motor gain ±10%%, CoM "
+                    "±2 cm (XLA path — the kernels bake inertials)")
+    ap.add_argument("--ent-anneal", action="store_true",
+                    help="linearly anneal the entropy bonus to 0 over "
+                    "training so the MEAN policy sharpens into the "
+                    "deployable artifact (fixes dither-reliant gaits)")
     ap.add_argument("--observe", default="state",
                     choices=["state", "sensors"],
                     help="observation source: privileged state or the "
-                    "delayed/biased/noisy sensor suite (anymal only)")
+                    "delayed/biased/noisy sensor suite (walker envs)")
     ap.add_argument("--sensor-delay", type=float, default=0.0)
     ap.add_argument("--imu-noise", type=float, default=0.0)
     ap.add_argument("--encoder-noise", type=float, default=0.0)
@@ -128,6 +161,7 @@ def main():
             args.env, args.max_steps, args.terrain, args.push,
             args.observe, args.sensor_delay, args.imu_noise,
             args.encoder_noise, args.mdp, args.solver,
+            push_duration=args.push_duration, randomize=args.randomize,
         )
         if args.fusion is not None:
             env.engine.set_options({"substep_fusion": args.fusion})
@@ -152,6 +186,7 @@ def main():
         ent_coef=args.ent_coef,
         symmetry_coef=0.1 if hasattr(env, "symmetry_fn") else 0.0,
         anneal_lr=True,
+        anneal_ent=args.ent_anneal,
         total_iters=args.iters,
     )
     init_fn, train_step, policy = make_train_fn(

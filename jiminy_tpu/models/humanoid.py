@@ -147,7 +147,12 @@ def humanoid_urdf(p: HumanoidParams = ATLAS) -> str:
     return "\n".join(L)
 
 
-def humanoid_hardware(p: HumanoidParams = ATLAS) -> dict:
+def humanoid_hardware(
+    p: HumanoidParams = ATLAS,
+    sensor_delay: float = 0.0,
+    imu_noise: float = 0.0,
+    encoder_noise: float = 0.0,
+) -> dict:
     """Motors + encoders/effort sensors on every joint, IMU on the pelvis,
     foot contact points at the sole corners."""
     joints = ["back_bkz", "back_bky", "back_bkx"]
@@ -165,7 +170,11 @@ def humanoid_hardware(p: HumanoidParams = ATLAS) -> dict:
         }
         for j in joints
     }
-    encoders = {j: {"joint_name": j} for j in joints}
+    encoders = {
+        j: {"joint_name": j, "delay": sensor_delay,
+            "noiseStd": encoder_noise}
+        for j in joints
+    }
     efforts = {j: {"motor_name": j} for j in joints}
     # foot sole corner contact points, offset from the foot links
     contacts = {}
@@ -184,18 +193,32 @@ def humanoid_hardware(p: HumanoidParams = ATLAS) -> dict:
         "Global": {"contactFrameNames": [], "contactPoints": contacts},
         "Motor": {"SimpleMotor": motors},
         "Sensor": {
-            "ImuSensor": {"pelvis_imu": {"frame_name": "pelvis_frame"}},
+            "ImuSensor": {
+                "pelvis_imu": {
+                    "frame_name": "pelvis_frame",
+                    "delay": sensor_delay,
+                    "noiseStd": imu_noise,
+                }
+            },
             "EncoderSensor": encoders,
             "EffortSensor": efforts,
         },
     }
 
 
-def make_atlas(sensor_period: float = 0.0025) -> Robot:
+def make_atlas(
+    sensor_period: float = 0.0025,
+    sensor_delay: float = 0.0,
+    imu_noise: float = 0.0,
+    encoder_noise: float = 0.0,
+) -> Robot:
     """Build the humanoid through the URDF + hardware pipeline."""
     return build_robot(
         humanoid_urdf(ATLAS),
-        hardware=humanoid_hardware(ATLAS),
+        hardware=humanoid_hardware(
+            ATLAS, sensor_delay=sensor_delay, imu_noise=imu_noise,
+            encoder_noise=encoder_noise,
+        ),
         freeflyer=True,
         sensor_period=sensor_period,
         name=ATLAS.name,

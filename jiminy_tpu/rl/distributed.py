@@ -25,7 +25,8 @@ def make_distributed_train(env, cfg: PPOConfig, mesh: Mesh, axis: str = "data"):
     """Build (init_fn, train_step) running across ``mesh``.
 
     carry = (params[replicated], opt_state[replicated],
-             env_states[sharded on batch], key[replicated]).
+             env_states[sharded on batch], key[replicated],
+             iter_count[replicated]).
     ``cfg.num_envs`` is the GLOBAL batch; must divide by the axis size.
     """
     n_shards = mesh.shape[axis]
@@ -36,7 +37,7 @@ def make_distributed_train(env, cfg: PPOConfig, mesh: Mesh, axis: str = "data"):
         )
     init_fn, train_step, policy = make_train_fn(env, cfg, axis=axis)
 
-    carry_specs = (P(), P(), P(axis), P())
+    carry_specs = (P(), P(), P(axis), P(), P())
 
     dist_step = jax.jit(
         shard_map(
@@ -49,11 +50,12 @@ def make_distributed_train(env, cfg: PPOConfig, mesh: Mesh, axis: str = "data"):
     )
 
     def dist_init(key):
-        params, opt_state, states, k = init_fn(key, cfg.num_envs)
+        params, opt_state, states, k, it = init_fn(key, cfg.num_envs)
         params = jax.device_put(params, NamedSharding(mesh, P()))
         opt_state = jax.device_put(opt_state, NamedSharding(mesh, P()))
         states = jax.device_put(states, NamedSharding(mesh, P(axis)))
         k = jax.device_put(k, NamedSharding(mesh, P()))
-        return (params, opt_state, states, k)
+        it = jax.device_put(it, NamedSharding(mesh, P()))
+        return (params, opt_state, states, k, it)
 
     return dist_init, dist_step, policy

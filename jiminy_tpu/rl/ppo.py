@@ -42,7 +42,14 @@ class PPOConfig:
     max_grad_norm: float = 0.5
     hidden: tuple = (256, 256)
     anneal_lr: bool = False
-    total_iters: int = 1000  # only used for lr annealing
+    # linearly anneal the entropy bonus to 0 over total_iters. Without
+    # it the Gaussian policy keeps a large σ to collect the bonus and
+    # the gait can come to RELY on action dither: the round-3 Cassie
+    # push artifact evaluated 29-33% falls with the deterministic MEAN
+    # policy while the stochastic one fell 0% (diagnosed round 4).
+    # Annealing sharpens the mean into the deployable artifact.
+    anneal_ent: bool = False
+    total_iters: int = 1000  # only used for lr/ent annealing
     # reference rllib-tier extras (SURVEY.md §2.5: "L2 regularization and
     # symmetry-augmented surrogate options upstream")
     l2_reg: float = 0.0  # weight decay on network weights
@@ -109,7 +116,7 @@ def make_train_fn(
         params = policy.init(k_params)
         opt_state = tx.init(params)
         states = jax.vmap(env.reset)(jax.random.split(k_envs, n_envs))
-        return (params, opt_state, states, k_run)
+        return (params, opt_state, states, k_run, jnp.int32(0))
 
     def rollout(params, states, key):
         def step_fn(carry, _):
@@ -137,7 +144,7 @@ def make_train_fn(
         )
         return states, traj
 
-    def loss_fn(params, batch):
+    def loss_fn(params, batch, ent_coef):
         logp = policy.log_prob(params, batch["obs"], batch["action"])
         ratio = jnp.exp(logp - batch["logp"])
         adv = batch["adv"]
@@ -155,7 +162,7 @@ def make_train_fn(
             )
         )
         ent = jnp.mean(policy.entropy(params, batch["obs"]))
-        total = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * ent
+        total = pg_loss + cfg.vf_coef * v_loss - ent_coef * ent
         if cfg.l2_reg > 0.0:
             l2 = sum(
                 jnp.sum(jnp.square(W))
@@ -180,7 +187,14 @@ def make_train_fn(
         }
 
     def train_step(carry):
-        params, opt_state, states, key = carry
+        params, opt_state, states, key, it = carry
+        if cfg.anneal_ent:
+            frac = 1.0 - jnp.minimum(
+                it.astype(jnp.float32) / cfg.total_iters, 1.0
+            )
+            ent_coef = cfg.ent_coef * frac
+        else:
+            ent_coef = jnp.float32(cfg.ent_coef)
         key, k_roll, k_perm = jax.random.split(key, 3)
         if axis is not None:
             # per-shard stochasticity; the carried key itself stays
@@ -242,7 +256,9 @@ def make_train_fn(
 
             def mb_update(carry, batch):
                 params, opt_state = carry
-                grads, aux = jax.grad(loss_fn, has_aux=True)(params, batch)
+                grads, aux = jax.grad(loss_fn, has_aux=True)(
+                    params, batch, ent_coef
+                )
                 if axis is not None:
                     grads = jax.lax.pmean(grads, axis)
                     aux = jax.lax.pmean(aux, axis)
@@ -267,7 +283,7 @@ def make_train_fn(
         }
         if axis is not None:
             metrics = jax.lax.pmean(metrics, axis)
-        return (params, opt_state, states, key), metrics
+        return (params, opt_state, states, key, it + 1), metrics
 
     return init_fn, train_step, policy
 
