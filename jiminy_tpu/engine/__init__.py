@@ -14,11 +14,15 @@ from jiminy_tpu.engine.ground import (
     sample_fourier_ground,
 )
 from jiminy_tpu.engine.contact import ContactParams
+from jiminy_tpu.engine.collision import Capsule, CollisionPair, Sphere
 from jiminy_tpu.engine.randomization import ModelParams, ModelRandomization
 
 __all__ = [
     "ModelParams",
     "ModelRandomization",
+    "Sphere",
+    "Capsule",
+    "CollisionPair",
     "Engine",
     "EngineOptions",
     "PDController",

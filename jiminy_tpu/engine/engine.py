@@ -207,12 +207,24 @@ class Engine:
         motors=None,
         controller: Optional[Callable] = None,
         forces: tuple = (),
+        collision_pairs: tuple = (),
     ):
         self.tree = tree
         self.options = options or EngineOptions()
         self.ground = ground if ground is not None else FlatGround()
         self.internal_dynamics = internal_dynamics
         self.constraints = tuple(constraints)
+        # declared body-body / self-collision primitive pairs
+        # (engine/collision.py — reference: hpp-fcl collision pairs,
+        # SURVEY.md §2.1 "Model"). Static pair list → static narrow
+        # phase; rides the XLA + solve-chain paths (whole-substep
+        # kernel gated off below).
+        self.collision_pairs = tuple(collision_pairs)
+        if self.collision_pairs and self.options.contact_model != "constraint":
+            raise ValueError(
+                "collision_pairs require contact_model='constraint' "
+                "(pair impulses resolve in the PGS)"
+            )
         # static per-contact tangential effective mass: bounds the
         # penalty-path friction slope (contact.penalty_forces stability
         # clamp); build-time numpy, baked into the trace as constants
@@ -259,6 +271,15 @@ class Engine:
                 f"{self.options.constraint_solver!r}"
             )
         self._bounded_cache_ = None
+        self._pair_set = None
+        if self.collision_pairs:
+            from jiminy_tpu.engine.collision import CollisionPairSet
+
+            self._pair_set = CollisionPairSet(
+                self.tree,
+                self.collision_pairs,
+                float(self.options.contacts.friction),
+            )
         self._solver_backend = self.options.constraint_solver
         if self._solver_backend == "auto":
             self._solver_backend = (
@@ -342,6 +363,12 @@ class Engine:
             )
         if self.forces:
             bad.append("registered forces unsupported")
+        if self.collision_pairs:
+            bad.append(
+                "body-body collision pairs unsupported (ground-only "
+                "contact manifold is baked) — auto falls back to the "
+                "solve-chain kernel / XLA"
+            )
         if any(
             not isinstance(c, DistanceConstraint) for c in self.constraints
         ):
@@ -550,6 +577,7 @@ class Engine:
             n += len(self._bounded_joints())
         if self.options.contact_model == "constraint":
             n += 3 * self.tree.ncp
+        n += 3 * len(self.collision_pairs)
         return n
 
     # -- state management ------------------------------------------------
@@ -934,6 +962,30 @@ class Engine:
                 )
                 off += 3
 
+        # ---- declared body-body / self-collision pairs ----------------------
+        # (engine/collision.py): one [t1, t2, n] friction block per pair,
+        # each its own PGS color (pairs may share bodies, so they update
+        # SEQUENTIALLY — Gauss-Seidel between colors — while ground
+        # contacts keep their two interleaved colors above)
+        if self._pair_set is not None:
+            from jiminy_tpu.engine.collision import pair_rows
+
+            alpha_p = cstr.baumgarte_alpha(
+                jnp.float32(opts.contact_baumgarte_freq), dt
+            )
+            Jp_, tgt_p, act_p, mu_p = pair_rows(
+                self._pair_set, tree, xw, q.dtype, dt, alpha_p,
+                opts.contact_margin, opts.contact_slop,
+                opts.contact_max_correction_vel,
+            )
+            Js.append(Jp_)
+            targets.append(tgt_p)
+            actives.append(act_p)
+            mu_parts.append(mu_p)
+            for k in range(self._pair_set.n):
+                contact_colors.append((off + 3 * k, 1))
+            off += 3 * self._pair_set.n
+
         nc = off
         if nc == 0:
             if use_pallas:
@@ -994,7 +1046,9 @@ class Engine:
         q_next = algos.integrate(tree, q, v_next, dt)
 
         if use_contact_blocks:
-            lam_perm = lam[contact_off:].reshape(tree.ncp, 3)
+            lam_perm = lam[
+                contact_off : contact_off + 3 * tree.ncp
+            ].reshape(tree.ncp, 3)
             # un-permute from color-major back to contact order (static)
             inv = [0] * tree.ncp
             for j, k_orig in enumerate(color_order):
