@@ -71,7 +71,9 @@ def main() -> None:
             HERE / f"{params.name}_hardware.toml", quadruped_hardware(params)
         )
     (HERE / "atlas.urdf").write_text(humanoid_urdf())
-    write_hardware_toml(HERE / "atlas_hardware.toml", humanoid_hardware())
+    write_hardware_toml(
+        HERE / "atlas_hardware.toml", humanoid_hardware(flexibility=True)
+    )
     print("assets written to", HERE)
 
 

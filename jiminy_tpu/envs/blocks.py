@@ -149,8 +149,14 @@ class DeformationEstimator:
     def init(self, key=None):
         return ()
 
-    def apply(self, state, quat_parent, quat_child):
+    def apply(self, state, quat_parent, quat_child, quat_joint=None):
+        """``quat_joint``: the KNOWN articulated rotation between the two
+        IMU bodies (from encoders) when actuated joints sit between them
+        — e.g. Cassie's hip flexibility: the chain is
+        R_rel = R_flex · R_hip(θ_encoder), so R_flex = R_rel · R_hipᵀ."""
         rel = so3.quat_mul(so3.quat_conj(quat_parent), quat_child)
+        if quat_joint is not None:
+            rel = so3.quat_mul(rel, so3.quat_conj(quat_joint))
         if self.nominal is not None:
             rel = so3.quat_mul(so3.quat_conj(self.nominal), rel)
         return state, so3.quat_log(rel)

@@ -25,6 +25,7 @@ class CassieEnv(WalkerEnv):
             sensor_delay=kwargs.pop("sensor_delay", 0.0),
             imu_noise=kwargs.pop("imu_noise", 0.0),
             encoder_noise=kwargs.pop("encoder_noise", 0.0),
+            flexibility=kwargs.pop("flexibility", False),
         )
         super().__init__(
             robot,

@@ -51,10 +51,21 @@ def make_cassie(
     sensor_delay: float = 0.0,
     imu_noise: float = 0.0,
     encoder_noise: float = 0.0,
+    flexibility: bool = False,
+    flex_stiffness: float = 600.0,
+    flex_damping: float = 5.0,
 ):
     """Build the biped. Returns (robot, constraints, stand_q) where
     ``constraints`` are the two pushrod DistanceConstraints (pass them to
-    the Engine/WalkerEnv)."""
+    the Engine/WalkerEnv).
+
+    ``flexibility=True`` inserts a 3-DoF quaternion flexibility joint
+    upstream of each hip (the reference's signature real-robot modeling
+    feature, SURVEY.md §2.1 "Model": flexible joints) and mounts one
+    extra IMU on each hip body so a DeformationEstimator can reconstruct
+    the deflection from the pelvis↔hip IMU pair (SURVEY.md §2.4
+    "Blocks"). Spherical joints fall outside the whole-substep kernel;
+    the engine auto-selects the solve-chain kernel instead."""
     b = TreeBuilder()
     pelvis = b.add_body(
         "pelvis", -1, JointType.FREE, mass=10.0,
@@ -128,12 +139,23 @@ def make_cassie(
         rod_frames[side] = (f1, f2)
         b.add_contact_point(f"{side}_toe_front", foot, (_FOOT_HALF, 0, -0.02))
         b.add_contact_point(f"{side}_toe_back", foot, (-_FOOT_HALF, 0, -0.02))
+        if flexibility:
+            # IMU ON the hip body (downstream of the future flexibility
+            # joint) — pairs with the pelvis IMU across the deflection
+            b.add_frame(f"{side}_hip_imu", hip_r)
+
+    if flexibility:
+        for side in ("L", "R"):
+            b.insert_flexibility(
+                f"{side}_hip_roll", stiffness=flex_stiffness,
+                damping=flex_damping, inertia=1e-3,
+            )
 
     tree = b.build()
 
-    # nominal standing configuration
-    q = np.zeros(tree.nq, np.float32)
-    q[6] = 1.0
+    # nominal standing configuration (neutral_q: identity quats for the
+    # free base AND any flexibility joints)
+    q = np.asarray(tree.neutral_q(), np.float32).copy()
     for side in ("L", "R"):
         for jn, key in (
             (f"{side}_hip_pitch", "hip_pitch"),
@@ -186,6 +208,12 @@ def make_cassie(
         encoder_spec(j, delay=sensor_delay, noise_std=encoder_noise)
         for j in motor_joints
     ]
+    if flexibility:
+        specs += [
+            imu_spec(f"{side}_hip_imu", delay=sensor_delay,
+                     noise_std=imu_noise)
+            for side in ("L", "R")
+        ]
     sensors = SensorSuite.build(tree, specs, sensor_period)
     robot = Robot(tree, motors=motors, sensors=sensors, name="cassie")
     return robot, tuple(constraints), stand

@@ -152,6 +152,7 @@ def humanoid_hardware(
     sensor_delay: float = 0.0,
     imu_noise: float = 0.0,
     encoder_noise: float = 0.0,
+    flexibility: bool = False,
 ) -> dict:
     """Motors + encoders/effort sensors on every joint, IMU on the pelvis,
     foot contact points at the sole corners."""
@@ -189,7 +190,23 @@ def humanoid_hardware(
                 "frame_name": f"{side}_foot",
                 "pos": [cx, cy, -p.ankle_h],
             }
+    hw_flex = {}
+    if flexibility:
+        # 3-DoF quaternion flexibility at the torso joint — the
+        # reference's flexible-joint hardware declaration (SURVEY.md
+        # §2.1 "Model"; hardware-TOML [Flexibility] sections)
+        hw_flex = {
+            "Flexibility": {
+                "torso_flex": {
+                    "joint_name": "back_bkz",
+                    "stiffness": 8000.0,
+                    "damping": 40.0,
+                    "inertia": 1e-3,
+                }
+            }
+        }
     return {
+        **hw_flex,
         "Global": {"contactFrameNames": [], "contactPoints": contacts},
         "Motor": {"SimpleMotor": motors},
         "Sensor": {
