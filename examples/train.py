@@ -68,6 +68,12 @@ def make_env(name: str, max_steps: int, terrain=None, push=0.0,
             **({"engine_options": _solver_options(solver)} if solver else {}),
             **walker_kwargs,
         )
+    if name == "cassie_flex":
+        # 3-DoF hip flexibility (spherical joints → solve-chain kernel)
+        return E.CassieEnv(
+            sim_dt=2e-3, max_steps=max_steps, target_speed=0.4,
+            push_magnitude=push, flexibility=True, **walker_kwargs,
+        )
     if name == "ant":
         return E.AntEnv(
             max_steps=max_steps, push_magnitude=push, **walker_kwargs
@@ -94,7 +100,7 @@ def make_env(name: str, max_steps: int, terrain=None, push=0.0,
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--env", default="anymal")
+    ap.add_argument("--env", default="anymal")  # incl. cassie_flex (3-DoF hip flexibility)
     ap.add_argument("--iters", type=int, default=4000)
     ap.add_argument("--num-envs", type=int, default=2048)
     ap.add_argument("--max-steps", type=int, default=500)

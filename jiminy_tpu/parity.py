@@ -102,8 +102,55 @@ class ParityReport:
         return json.dumps(dataclasses.asdict(self))
 
 
+def _parse_constraints(specs, tree) -> tuple:
+    """Declarative kinematic constraints in meta.json (fixtures like the
+    rolling wheel need them; the reference's WheelConstraint /
+    DistanceConstraint — SURVEY.md §2.1 "Constraints"):
+
+        "constraints": [{"type": "wheel", "frame": "wheel_frame",
+                         "radius": 0.2, "axis": [0,1,0],
+                         "baumgarte_freq": 20.0}, ...]
+    """
+    import jax.numpy as jnp
+
+    from jiminy_tpu.engine.constraints import (
+        DistanceConstraint,
+        WheelConstraint,
+    )
+
+    out = []
+    for c in specs:
+        kind = c["type"]
+        if kind == "wheel":
+            out.append(
+                WheelConstraint(
+                    frame=tree.frame_name.index(c["frame"]),
+                    radius=jnp.asarray(float(c["radius"])),
+                    axis=jnp.asarray(c.get("axis", [0.0, 1.0, 0.0])),
+                    baumgarte_freq=jnp.asarray(
+                        float(c.get("baumgarte_freq", 20.0))
+                    ),
+                )
+            )
+        elif kind == "distance":
+            out.append(
+                DistanceConstraint(
+                    frame1=tree.frame_name.index(c["frame1"]),
+                    frame2=tree.frame_name.index(c["frame2"]),
+                    distance=jnp.asarray(float(c["distance"])),
+                    baumgarte_freq=jnp.asarray(
+                        float(c.get("baumgarte_freq", 20.0))
+                    ),
+                )
+            )
+        else:
+            raise ValueError(f"unknown constraint type {kind!r}")
+    return tuple(out)
+
+
 def _build_sim(fix: Path, meta: dict):
     from jiminy_tpu.engine.engine import EngineOptions
+    from jiminy_tpu.robot import build_robot
     from jiminy_tpu.simulator import Simulator
 
     hardware = fix / "hardware.toml"
@@ -114,11 +161,17 @@ def _build_sim(fix: Path, meta: dict):
         opts = dataclasses.replace(
             opts, contacts=dataclasses.replace(opts.contacts, **contacts)
         )
-    return Simulator.build(
+    robot = build_robot(
         fix / "robot.urdf",
         hardware=str(hardware) if hardware.exists() else None,
         freeflyer=bool(meta.get("freeflyer", False)),
+    )
+    return Simulator(
+        robot,
         options=opts,
+        constraints=_parse_constraints(
+            meta.get("constraints", []), robot.tree
+        ),
     )
 
 
