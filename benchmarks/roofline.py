@@ -32,21 +32,42 @@ import jax.numpy as jnp
 HBM_PEAK_GBS = 819.0  # TPU v5e HBM bandwidth (public spec)
 
 
-def measure(env, B: int, iters: int = 30) -> float:
+def measure(env, B: int, T: int = 25, n_iters: int = 4) -> float:
+    """Mirror bench.py's methodology exactly: a jitted lax.scan of T env
+    steps, synced via np.asarray (device→host copy) — NOT
+    jax.block_until_ready, which returns early through the axon TPU
+    tunnel and over-reports by >10× (bench.py:52-54)."""
+    import numpy as np
+
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
         keys = jax.random.split(jax.random.PRNGKey(0), B)
     states = jax.jit(jax.vmap(env.reset))(keys)
-    actions = jnp.zeros((B, env.action_size))
-    step = jax.jit(lambda s, a: jax.vmap(env.step)(s, a))
-    states = step(states, actions)  # compile
-    jax.block_until_ready(states.obs)
+
+    @jax.jit
+    def rollout(states, key):
+        def body(carry, _):
+            st, key = carry
+            key, k = jax.random.split(key)
+            a = jax.random.uniform(
+                k, (B, env.action_size), minval=-1.0, maxval=1.0
+            )
+            st = jax.vmap(env.step)(st, a)
+            return (st, key), None
+
+        (st, _), _ = jax.lax.scan(body, (states, key), None, length=T)
+        return st
+
+    out = rollout(states, jax.random.PRNGKey(1))
+    np.asarray(out.sim.q[0, 0])
+    out = rollout(out, jax.random.PRNGKey(99))  # warm steady-state
+    np.asarray(out.sim.q[0, 0])
     t0 = time.perf_counter()
-    for _ in range(iters):
-        states = step(states, actions)
-    jax.block_until_ready(states.obs)
-    dt = (time.perf_counter() - t0) / iters
-    return B / dt
+    for i in range(n_iters):
+        out = rollout(out, jax.random.PRNGKey(2 + i))
+    np.asarray(out.sim.q[0, 0])
+    dt = time.perf_counter() - t0
+    return B * T * n_iters / dt
 
 
 def state_bytes_per_env(env) -> int:
@@ -67,7 +88,8 @@ def main() -> None:
 
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
-        env = ANYmalEnv(max_steps=1000)
+        # the exact bench.py config
+        env = ANYmalEnv(step_dt=0.02, sim_dt=5e-3, pgs_iters=8)
     platform = jax.devices()[0].platform
     curve = {}
     for B in (256, 1024, 4096, 8192, 16384):
