@@ -14,7 +14,12 @@ from jiminy_tpu.engine.ground import (
     sample_fourier_ground,
 )
 from jiminy_tpu.engine.contact import ContactParams
-from jiminy_tpu.engine.collision import Capsule, CollisionPair, Sphere
+from jiminy_tpu.engine.collision import (
+    Capsule,
+    CollisionPair,
+    Sphere,
+    shape_for_link,
+)
 from jiminy_tpu.engine.randomization import ModelParams, ModelRandomization
 
 __all__ = [
@@ -23,6 +28,7 @@ __all__ = [
     "Sphere",
     "Capsule",
     "CollisionPair",
+    "shape_for_link",
     "Engine",
     "EngineOptions",
     "PDController",

@@ -65,6 +65,41 @@ class CollisionPair:
     friction: float | None = None
 
 
+def shape_for_link(robot, link: str, index: int = 0) -> Sphere | Capsule:
+    """Pair-collision primitive for a URDF link's parsed ``<collision>``
+    geometry (``Robot.collision_shapes``): spheres/capsules pass through
+    exactly; a box or an STL mesh becomes its fitted bounding capsule
+    (computed at parse time for meshes — io/urdf.py). This is the
+    declared-pair analog of the reference's hpp-fcl geometry lookup:
+    ``CollisionPair(shape_for_link(r, "l_shin"), shape_for_link(r,
+    "r_shin"))``. ``index`` selects among multiple <collision> entries."""
+    if link not in robot.collision_shapes:
+        raise ValueError(
+            f"link {link!r} has no parsed <collision> geometry "
+            f"(available: {sorted(robot.collision_shapes)})"
+        )
+    body, geoms = robot.collision_shapes[link]
+    g = geoms[index]
+    if g[0] == "sphere":
+        return Sphere(body, tuple(np.asarray(g[1], np.float32)), float(g[2]))
+    if g[0] == "capsule":
+        return Capsule(
+            body,
+            tuple(np.asarray(g[1], np.float32)),
+            tuple(np.asarray(g[2], np.float32)),
+            float(g[3]),
+        )
+    if g[0] == "mesh":
+        p0, p1, r = g[2]
+        return Capsule(body, tuple(p0), tuple(p1), float(r))
+    if g[0] == "box":
+        from jiminy_tpu.io.urdf import _fit_capsule
+
+        p0, p1, r = _fit_capsule(np.asarray(g[1], np.float64))
+        return Capsule(body, tuple(p0), tuple(p1), float(r))
+    raise ValueError(f"unknown collision geometry kind {g[0]!r}")
+
+
 def _resolve_body(tree: KinematicTree, body: int | str) -> int:
     if isinstance(body, str):
         return tree.body_name.index(body)

@@ -17,6 +17,15 @@ Unsupported (rejected loudly): planar joints, mimic joints.
 primitives are parsed into per-link footprint candidates; the hardware
 description opts links in via ``[Global] collisionBodyNames`` (mirrors
 the reference's collision-bodies list; SURVEY.md §2.1 "Model").
+
+<collision><mesh> (STL) is supported the TPU way: where the reference
+hands the triangle soup to hpp-fcl's BVH at runtime, here the mesh is
+reduced AT BUILD TIME to (a) its convex support points — the extreme
+vertex along each of 26 sphere directions, i.e. exactly the hull
+vertices that can touch the ground first — which become static contact
+sites, and (b) a fitted bounding capsule for body-body pair collision
+(engine/collision.py). Static shapes, no runtime BVH traversal, no
+gathers in the hot loop.
 """
 
 from __future__ import annotations
@@ -78,6 +87,95 @@ _JOINT_MAP = {
 }
 
 
+def _support_directions(n_extra: int = 0) -> np.ndarray:
+    """26 cube face/edge/corner unit directions (+ optional golden-spiral
+    extras) — support mapping along these yields the convex-hull extreme
+    vertices of a point cloud."""
+    dirs = [
+        np.array([x, y, z], np.float64)
+        for x in (-1.0, 0.0, 1.0)
+        for y in (-1.0, 0.0, 1.0)
+        for z in (-1.0, 0.0, 1.0)
+        if (x, y, z) != (0.0, 0.0, 0.0)
+    ]
+    if n_extra:
+        i = np.arange(n_extra, dtype=np.float64) + 0.5
+        phi = np.arccos(1.0 - 2.0 * i / n_extra)
+        theta = np.pi * (1.0 + 5.0**0.5) * i
+        dirs += list(
+            np.stack(
+                [np.sin(phi) * np.cos(theta),
+                 np.sin(phi) * np.sin(theta),
+                 np.cos(phi)], axis=-1
+            )
+        )
+    d = np.stack(dirs)
+    return d / np.linalg.norm(d, axis=-1, keepdims=True)
+
+
+def _fit_capsule(v: np.ndarray) -> tuple[np.ndarray, np.ndarray, float]:
+    """Bounding capsule of a vertex cloud: segment along the principal
+    axis, radius = max perpendicular distance, end caps pulled in by the
+    radius (an approximation — slightly loose at the ends — standing in
+    for the reference's exact hpp-fcl mesh BVH)."""
+    c = v.mean(axis=0)
+    d = v - c
+    # principal axis from the 3×3 scatter matrix (tiny, exact)
+    _, vecs = np.linalg.eigh(d.T @ d)
+    u = vecs[:, -1]
+    t = d @ u
+    r = float(np.sqrt(np.maximum(np.sum(d * d, axis=-1) - t * t, 0.0)).max())
+    lo, hi = float(t.min()), float(t.max())
+    if hi - lo > 2.0 * r:  # elongated: pull the end caps in
+        lo, hi = lo + r, hi - r
+    else:  # chunky mesh: degenerate to a sphere at the centroid
+        lo = hi = 0.5 * (lo + hi)
+    p0, p1 = c + lo * u, c + hi * u
+    # expand the radius so every vertex is truly inside: max distance
+    # from the cloud to the [p0, p1] segment
+    seg = p1 - p0
+    denom = float(seg @ seg)
+    s = (
+        np.clip(((v - p0) @ seg) / denom, 0.0, 1.0)
+        if denom > 1e-12
+        else np.zeros(len(v))
+    )
+    closest = p0 + s[:, None] * seg
+    r = max(r, float(np.linalg.norm(v - closest, axis=-1).max()))
+    return p0.astype(np.float32), p1.astype(np.float32), r
+
+
+def _mesh_collision(
+    mesh_elem, T: np.ndarray, mesh_dir: Path | None, max_points: int = 32
+):
+    """<collision><mesh> → ("mesh", support_pts (k,3), (p0, p1, r))
+    in the carrier body frame, or None if the STL can't be resolved."""
+    from jiminy_tpu.viewer3d import read_stl  # numpy-only STL parser
+
+    fn = (mesh_elem.get("filename") or "").removeprefix("package://")
+    cands = [Path(fn)]
+    if mesh_dir is not None:
+        cands += [mesh_dir / fn, mesh_dir / Path(fn).name]
+    path = next((c for c in cands if c.is_file()), None)
+    if path is None or path.suffix.lower() != ".stl":
+        return None
+    scale = _floats(mesh_elem.get("scale"), 3, default=1.0)
+    v, _ = read_stl(path, scale)
+    R, p = T[:3, :3].astype(np.float64), T[:3, 3].astype(np.float64)
+    v = v @ R.T + p
+    idx = np.unique(np.argmax(v @ _support_directions(14).T, axis=0))
+    pts = v[idx]
+    if len(pts) > max_points:  # farthest-point thinning, deterministic
+        keep = [int(np.argmax(pts[:, 2]))]
+        d2 = np.sum((pts - pts[keep[0]]) ** 2, axis=-1)
+        while len(keep) < max_points:
+            nxt = int(np.argmax(d2))
+            keep.append(nxt)
+            d2 = np.minimum(d2, np.sum((pts - pts[nxt]) ** 2, axis=-1))
+        pts = pts[keep]
+    return ("mesh", pts.astype(np.float32), _fit_capsule(v))
+
+
 def parse_urdf(
     source: str | Path,
     freeflyer: bool = False,
@@ -89,7 +187,9 @@ def parse_urdf(
     ``has_freeflyer`` option for legged robots). Returns (builder, info)
     where info maps link names → ("body", idx) or ("frame", idx)."""
     text = str(source)
+    urdf_dir = None
     if "<robot" not in text:
+        urdf_dir = Path(source).resolve().parent
         text = Path(source).read_text()
     root = ET.fromstring(text)
     if root.tag != "robot":
@@ -206,6 +306,7 @@ def parse_urdf(
     # ("capsule", p0(3), p1(3), r) or ("box", corners(8,3)) — in the
     # CARRIER body frame (fused fixed links folded in).
     b.urdf_collisions = {}
+    b.urdf_dir = urdf_dir
     for lname, link in links.items():
         if lname not in carrier:
             continue
@@ -221,6 +322,7 @@ def parse_urdf(
             cap = g.find("capsule")
             cyl = g.find("cylinder")
             box = g.find("box")
+            msh = g.find("mesh")
             if sph is not None:
                 geoms.append(("sphere", p.copy(), float(sph.get("radius"))))
             elif cap is not None or cyl is not None:
@@ -240,6 +342,10 @@ def parse_urdf(
                     ]
                 )
                 geoms.append(("box", corners))
+            elif msh is not None:
+                entry = _mesh_collision(msh, T, urdf_dir)
+                if entry is not None:
+                    geoms.append(entry)
         if geoms:
             b.urdf_collisions[lname] = (body, geoms)
 

@@ -51,6 +51,7 @@ class Robot:
         sensors: SensorSuite | None = None,
         name: str = "robot",
         visuals: dict | None = None,
+        collision_shapes: dict | None = None,
     ):
         self.tree = tree
         self.motors = motors
@@ -60,6 +61,12 @@ class Robot:
         # from URDF <visual>/<collision> (io/urdf.py); None → the viewer
         # auto-generates skeleton capsules
         self.visuals = visuals
+        # parsed <collision> geometry per link: {link: (body_idx, [geom
+        # tuples])} — ("sphere", c, r) / ("capsule", p0, p1, r) /
+        # ("box", corners) / ("mesh", support_pts, (p0, p1, r)).
+        # Pair-collision specs resolve through this (engine/collision.py
+        # shape_for_link); reference: the hpp-fcl geometry model
+        self.collision_shapes = collision_shapes or {}
 
     @property
     def nmotors(self) -> int:
@@ -121,10 +128,19 @@ def build_robot(
             damping=cfg.get("damping", 1.0),
             inertia=cfg.get("inertia", 1e-3),
         )
-        # body indices in the URDF link map shift past the insertion point
+        # body indices in the URDF link map shift past the insertion
+        # point — and so do the <collision>/<visual> geometry maps
         info = {
             k: (kind, idx + 1 if kind == "body" and idx >= i else idx)
             for k, (kind, idx) in info.items()
+        }
+        builder.urdf_collisions = {
+            k: (b + 1 if b >= i else b, g)
+            for k, (b, g) in getattr(builder, "urdf_collisions", {}).items()
+        }
+        builder.urdf_visuals = {
+            (b + 1 if b >= i else b): g
+            for b, g in getattr(builder, "urdf_visuals", {}).items()
         }
 
     # ---- 1-DoF joint springs (e.g. Cassie shin springs) -------------------
@@ -168,6 +184,9 @@ def build_robot(
                 builder.add_contact_sphere(base, body, g[1], radius=g[2])
             elif g[0] == "capsule":
                 builder.add_contact_capsule(base, body, g[1], g[2], g[3])
+            elif g[0] == "mesh":  # convex support points of the STL
+                for ci, c in enumerate(g[1]):
+                    builder.add_contact_point(f"{base}_v{ci}", body, c)
             else:  # box: corner points
                 for ci, c in enumerate(g[1]):
                     builder.add_contact_point(f"{base}_c{ci}", body, c)
@@ -290,6 +309,7 @@ def build_robot(
     return Robot(
         tree, motors=motors, sensors=sensors, name=name,
         visuals=getattr(builder, "urdf_visuals", None) or None,
+        collision_shapes=getattr(builder, "urdf_collisions", None) or None,
     )
 
 
