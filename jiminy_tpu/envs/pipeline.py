@@ -259,11 +259,40 @@ class NormalizedObsEnv(EnvWrapper):
         return layer, jnp.clip(z, -self.clip, self.clip)
 
 
+def mahony_layer(env, kp: float = 1.0, ki: float = 0.1):
+    """Observer layer dogfooding :class:`~jiminy_tpu.envs.blocks.
+    MahonyFilter`: reads (gyro, accel) from the base env's IMU sensor
+    stream each step and appends the filtered attitude quaternion (4,)
+    to the observation (reference: the MahonyFilter observer block in a
+    gym_jiminy pipeline, SURVEY.md §2.4 "Blocks"). Requires a
+    sensor-driven env (``observe="sensors"``) so the filter sees the
+    same delayed/noisy measurements the policy does."""
+    from jiminy_tpu.envs.blocks import MahonyFilter
+
+    base = env
+    while isinstance(base, EnvWrapper):
+        base = base.env
+    suite = getattr(base, "sensors", None)
+    if suite is None or not any(g.type == "imu" for g in suite.groups):
+        raise ValueError(
+            "mahony layer requires an env with an IMU sensor suite "
+            "(walker envs: observe='sensors')"
+        )
+    block = MahonyFilter(dt=base.step_dt, kp=kp, ki=ki)
+
+    def inputs_fn(inner_state):
+        imu = suite.read(inner_state.info["sensor_bufs"])["imu"][0]
+        return {"gyro": imu[4:7], "accel": imu[7:10]}
+
+    return ObservedEnv(env, block, inputs_fn)
+
+
 _WRAPPERS = {
     "controller": ControlledEnv,
     "observer": ObservedEnv,
     "stack": StackedObsEnv,
     "normalize": NormalizedObsEnv,
+    "mahony": mahony_layer,
 }
 
 
