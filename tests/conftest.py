@@ -20,6 +20,20 @@ import pytest  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent XLA compilation cache: env/step compiles dominate suite wall
+# time (a cold "not slow" run spends ~2/3 of its time compiling the same
+# handful of env programs file after file). The cache cuts warm reruns
+# several-fold; set JIMINY_TPU_TEST_CACHE=" " (or point it elsewhere) to
+# override, or delete the directory to force cold compiles.
+_cache = os.environ.get(
+    "JIMINY_TPU_TEST_CACHE",
+    os.path.join(os.path.expanduser("~"), ".cache", "jiminy_tpu_xla_tests"),
+).strip()
+if _cache:
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 
 @pytest.fixture(autouse=True)
 def _restore_x64():

@@ -92,6 +92,7 @@ class TestSubstepKernel:
             atol_q=2e-4, atol_v=2e-2,
         )
 
+    @pytest.mark.slow  # interpret-mode Pallas: minutes on CPU
     def test_anymal_fourier_ground_matches_xla(self):
         """Fourier terrain evaluated IN-KERNEL (height + analytic normal
         + general tangent basis) vs the XLA path's ground.query —
@@ -116,6 +117,7 @@ class TestSubstepKernel:
             atol_q=2e-4, atol_v=2e-2,
         )
 
+    @pytest.mark.slow  # interpret-mode Pallas: minutes on CPU
     def test_fourier_per_env_grounds_batch(self):
         """Per-env terrains: vmapping over BOTH state and ground
         coefficients gives each env its own ground (missing #7); env 0's
@@ -160,6 +162,7 @@ class TestSubstepKernel:
         # different terrains must actually produce different motion
         assert float(jnp.max(jnp.abs(out.v[0] - out.v[1]))) > 1e-5
 
+    @pytest.mark.slow  # interpret-mode Pallas: minutes on CPU
     def test_anymal_perlin_ground_matches_xla(self):
         """Analytic hash-Perlin terrain evaluated IN-KERNEL (int32
         lattice hash + fade/corner lane math, analytic gradient) vs the
@@ -184,6 +187,7 @@ class TestSubstepKernel:
         )
         assert float(jnp.max(jnp.abs(outs["xla"].contact_forces))) > 1.0
 
+    @pytest.mark.slow  # interpret-mode Pallas: minutes on CPU
     def test_perlin_per_env_grounds_batch(self):
         """Perlin parameters are pytree leaves: vmapping over (state,
         ground) gives each env its own random terrain on the fast path
@@ -228,6 +232,7 @@ class TestSubstepKernel:
         # different terrains must actually produce different motion
         assert float(jnp.max(jnp.abs(out.v[0] - out.v[1]))) > 1e-5
 
+    @pytest.mark.slow  # interpret-mode Pallas: minutes on CPU
     def test_anymal_stairs_ground_matches_xla(self):
         """Analytic StairsGround evaluated IN-KERNEL (floor/clip lane
         math, riser-ramp gradient) vs the XLA path's ground.query —
@@ -254,6 +259,7 @@ class TestSubstepKernel:
         )
         assert float(jnp.max(jnp.abs(outs["xla"].contact_forces))) > 1.0
 
+    @pytest.mark.slow  # interpret-mode Pallas: minutes on CPU
     def test_stairs_per_env_geometry_batch(self):
         """Stair parameters are pytree leaves: vmapping over (state,
         ground) randomizes stair geometry per env on the fast path."""

@@ -91,6 +91,7 @@ class TestMultiSubstep:
         # multi kernel actually built (and only for this substep count)
         assert list(eng._multi_substep_fns) == [4]
 
+    @pytest.mark.slow  # interpret-mode Pallas: minutes on CPU
     def test_anymal_direct_mode_matches_xla(self):
         """No controller: cmd is the motor command, friction/derate still
         re-evaluated per substep at the current velocity."""
@@ -159,6 +160,7 @@ class TestMultiSubstep:
         _assert_close(a, b)
         assert not eng._multi_substep_fns
 
+    @pytest.mark.slow  # interpret-mode Pallas: minutes on CPU
     def test_pd_declarative_equals_closure(self):
         """PDController.bind reproduces the hand-written closure exactly
         on the XLA path (the declarative swap in WalkerEnv is a no-op
@@ -188,6 +190,7 @@ class TestMultiSubstep:
         np.testing.assert_array_equal(np.asarray(s1.q), np.asarray(s2.q))
         np.testing.assert_array_equal(np.asarray(s1.v), np.asarray(s2.v))
 
+    @pytest.mark.slow  # interpret-mode Pallas: minutes on CPU
     def test_base_wrench_matches_xla(self):
         """Push disturbances as the (6,) base_wrench input: the kernel
         paths (single-substep and fused) must match the XLA path fed the
