@@ -39,6 +39,9 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=123)
     ap.add_argument("--terrain", default=None)
     ap.add_argument("--observe", default="state")
+    ap.add_argument("--self-collision", action="store_true",
+                    help="cassie: same self-collision pairs the run was "
+                    "trained with")
     ap.add_argument("--solver", default=None,
                     choices=[None, "xla", "pallas", "pallas_substep"],
                     help="force the constraint-solver backend (cassie)")
@@ -66,6 +69,7 @@ def main() -> None:
         env = make_env(
             args.env, args.max_steps, terrain=args.terrain,
             observe=args.observe, solver=args.solver,
+            self_collision=args.self_collision,
         )
         if args.substep_fusion is not None:
             env.engine.set_options(

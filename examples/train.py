@@ -31,7 +31,7 @@ def _solver_options(solver: str):
 def make_env(name: str, max_steps: int, terrain=None, push=0.0,
              observe="state", sensor_delay=0.0, imu_noise=0.0,
              encoder_noise=0.0, mdp="hardcoded", solver=None,
-             push_duration=0.1, randomize=None):
+             push_duration=0.1, randomize=None, self_collision=False):
     import jiminy_tpu.envs as E
 
     walker_kwargs = {"push_duration": push_duration}
@@ -64,7 +64,7 @@ def make_env(name: str, max_steps: int, terrain=None, push=0.0,
             sim_dt=2e-3, max_steps=max_steps, target_speed=0.4,
             push_magnitude=push, observe=observe,
             sensor_delay=sensor_delay, imu_noise=imu_noise,
-            encoder_noise=encoder_noise,
+            encoder_noise=encoder_noise, self_collision=self_collision,
             **({"engine_options": _solver_options(solver)} if solver else {}),
             **walker_kwargs,
         )
@@ -120,6 +120,10 @@ def main():
                     help="model domain randomization half-range, e.g. "
                     "0.2 → mass/inertia ±20%%, motor gain ±10%%, CoM "
                     "±2 cm (XLA path — the kernels bake inertials)")
+    ap.add_argument("--self-collision", action="store_true",
+                    help="cassie: declare L/R thigh/shin/tarsus capsule "
+                    "self-collision pairs in the PGS (whole-substep "
+                    "kernel gates off; chain kernel / XLA path)")
     ap.add_argument("--ent-anneal", action="store_true",
                     help="linearly anneal the entropy bonus to 0 over "
                     "training so the MEAN policy sharpens into the "
@@ -168,6 +172,7 @@ def main():
             args.observe, args.sensor_delay, args.imu_noise,
             args.encoder_noise, args.mdp, args.solver,
             push_duration=args.push_duration, randomize=args.randomize,
+            self_collision=args.self_collision,
         )
         if args.fusion is not None:
             env.engine.set_options({"substep_fusion": args.fusion})

@@ -18,7 +18,10 @@ class CassieEnv(WalkerEnv):
     and passive shin springs (BASELINE.json config #4)."""
 
     def __init__(self, step_dt: float = 0.02, sim_dt: float = 1e-3, **kwargs):
-        from jiminy_tpu.models.biped import make_cassie
+        from jiminy_tpu.models.biped import (
+            cassie_self_collision_pairs,
+            make_cassie,
+        )
 
         robot, constraints, stand = make_cassie(
             sensor_period=kwargs.pop("sensor_period", sim_dt),
@@ -27,6 +30,13 @@ class CassieEnv(WalkerEnv):
             encoder_noise=kwargs.pop("encoder_noise", 0.0),
             flexibility=kwargs.pop("flexibility", False),
         )
+        # declared L/R thigh/shin/tarsus capsule pairs in the PGS
+        # (reference: hpp-fcl self-collision pairs). Falls back off the
+        # whole-substep kernel while active.
+        if kwargs.pop("self_collision", False):
+            kwargs.setdefault(
+                "collision_pairs", cassie_self_collision_pairs()
+            )
         super().__init__(
             robot,
             stand_pose=jnp.asarray(stand),

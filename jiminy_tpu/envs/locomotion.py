@@ -65,6 +65,7 @@ class WalkerEnv(BaseEnv):
         max_tilt_cos: float = 0.6,
         engine_options: EngineOptions | None = None,
         constraints: tuple = (),
+        collision_pairs: tuple = (),  # engine.collision.CollisionPair
         observe: str = "state",  # "state" (privileged) | "sensors"
         ground_sampler=None,  # callable key -> FourierGround: per-env terrain
         reward_fn=None,  # compositions.RewardFn: replaces the built-in reward
@@ -124,6 +125,9 @@ class WalkerEnv(BaseEnv):
             # multi-substep kernel (an opaque closure cannot be)
             controller=PDController(kp, kd),
             constraints=constraints,
+            # declared body-body/self-collision pairs (gates the
+            # whole-substep kernel off — engine auto-select falls back)
+            collision_pairs=tuple(collision_pairs),
         )
         # sensor-driven observation path: the policy sees delayed/biased/
         # noisy IMU + encoder MEASUREMENTS, never privileged sim state

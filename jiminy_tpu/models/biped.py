@@ -46,6 +46,26 @@ def _pitch_chain_z(*segments):
     return x, z
 
 
+def cassie_self_collision_pairs(radius: float = 0.04):
+    """Declared self-collision pairs for the Cassie legs: left-vs-right
+    thigh/shin/tarsus segment capsules (the segments that cross first
+    when a gait collapses inward). Reference: jiminy activates
+    self-collision pairs through hpp-fcl (SURVEY.md §2.1 "Model");
+    here the static pair list feeds the PGS narrow phase
+    (engine/collision.py). Whole-substep kernel gates off when active."""
+    from jiminy_tpu.engine.collision import Capsule, CollisionPair
+
+    def seg(side, body, length):
+        return Capsule(f"{side}_{body}", (0.0, 0.0, 0.0),
+                       (0.0, 0.0, -length), radius)
+
+    return tuple(
+        CollisionPair(seg("L", body, length), seg("R", body, length))
+        for body, length in
+        (("thigh", _THIGH), ("shin", _SHIN), ("tarsus", _TARSUS))
+    )
+
+
 def make_cassie(
     sensor_period: float = 0.0025,
     sensor_delay: float = 0.0,

@@ -55,6 +55,25 @@ class TestCassie:
         assert abs(tarsus1 - tarsus0) > 0.01
 
 
+class TestCassieSelfCollision:
+    def test_self_collision_pairs_active_and_finite(self):
+        """CassieEnv(self_collision=True) declares the L/R thigh/shin/
+        tarsus capsule pairs (reference: hpp-fcl self-collision pairs,
+        SURVEY.md §2.1 "Model"), gates the whole-substep kernel off,
+        and still steps finitely."""
+        from jiminy_tpu.envs import CassieEnv
+
+        env = CassieEnv(sim_dt=2e-3, self_collision=True)
+        assert env.engine._pair_set is not None
+        assert env.engine._pair_set.n == 3
+        assert env.engine._substep_fn is None  # kernel fallback rule
+        st = jax.jit(env.reset)(jax.random.PRNGKey(0))
+        step = jax.jit(env.step)
+        for _ in range(3):
+            st = step(st, jnp.zeros(env.action_size))
+        assert bool(jnp.all(jnp.isfinite(st.obs)))
+
+
 class TestAnt:
     def test_stands_and_steps(self):
         from jiminy_tpu.envs import AntEnv
