@@ -16,9 +16,11 @@ sphere-sphere, sphere-capsule and capsule-capsule). Each pair feeds one
 contacts, with the engine's Baumgarte/margin activation — so impacts,
 resting and sliding behave identically to ground contact physics.
 
-Kernel scope: pairs ride the XLA and solve-chain Pallas paths; the
-whole-substep kernel bakes a ground-only contact manifold and is gated
-off when pairs are declared (auto-select falls back, same physics).
+Kernel scope: pairs ride ALL backends — the XLA path assembles rows
+here (``pair_rows``), and the whole-substep Pallas kernel runs the
+identical narrow phase lane-major in-kernel
+(ops/substep_kernel._seg_seg_lane + the pair block in _substep_math),
+so self-collision training keeps the flagship fused-kernel speed.
 """
 
 from __future__ import annotations

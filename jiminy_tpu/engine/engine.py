@@ -217,8 +217,8 @@ class Engine:
         # declared body-body / self-collision primitive pairs
         # (engine/collision.py — reference: hpp-fcl collision pairs,
         # SURVEY.md §2.1 "Model"). Static pair list → static narrow
-        # phase; rides the XLA + solve-chain paths (whole-substep
-        # kernel gated off below).
+        # phase; rides ALL backends including the whole-substep kernel
+        # (in-kernel narrow phase since round 5).
         self.collision_pairs = tuple(collision_pairs)
         if self.collision_pairs and self.options.contact_model != "constraint":
             raise ValueError(
@@ -304,6 +304,11 @@ class Engine:
         self._substep_gmode = "flat"
         self._substep_spec = None
         self._multi_substep_fns = {}
+        # randomized-kernel variant (per-env model params as a traced
+        # lane input): built lazily on the first step(model_params=...)
+        self._substep_fn_rand = None
+        self._substep_spec_rand = None
+        self._rand_checked = False
         if self._solver_backend == "pallas_substep":
             # explicit request: unsupported configs fail loudly
             self._substep_fn = self._build_substep_kernel()
@@ -329,10 +334,13 @@ class Engine:
             except ValueError:
                 pass
 
-    def _build_substep_kernel(self):
+    def _build_substep_kernel(self, randomized: bool = False):
         """Whole-substep Pallas kernel (ops/substep_kernel.py): validates
         the engine config is inside the kernel's scope and returns a
-        custom_vmap'd (q, v, tau, lam0) → (q⁺, v⁺, λ, residual)."""
+        custom_vmap'd (q, v, tau, lam0) → (q⁺, v⁺, λ, residual).
+        ``randomized=True`` builds the variant taking a packed per-env
+        model-parameter vector as its last input (domain randomization
+        at kernel speed — engine/randomization.py)."""
         from jiminy_tpu.engine.ground import (
             FlatGround,
             FourierGround,
@@ -363,12 +371,6 @@ class Engine:
             )
         if self.forces:
             bad.append("registered forces unsupported")
-        if self.collision_pairs:
-            bad.append(
-                "body-body collision pairs unsupported (ground-only "
-                "contact manifold is baked) — auto falls back to the "
-                "solve-chain kernel / XLA"
-            )
         if any(
             not isinstance(c, DistanceConstraint) for c in self.constraints
         ):
@@ -394,18 +396,25 @@ class Engine:
         n0 = len(range(0, ncp, 2))
         n_eq = sum(c.size for c in self.constraints)
         off = n_eq + len(bj)
-        colors = (
+        colors = list(
             ((off, n0), (off + 3 * n0, ncp - n0)) if ncp else ()
         )
+        # declared collision pairs: one [t1,t2,n] block each, appended
+        # after the ground rows, each its own color (pairs may share
+        # bodies — sequential Gauss-Seidel between colors), mirroring
+        # the XLA path's layout in _impulse_substep exactly
+        n_pairs = len(self.collision_pairs)
+        pair_off = off + 3 * ncp
+        colors += [(pair_off + 3 * k, 1) for k in range(n_pairs)]
         cfg = SolveConfig(
             n=tree.nv,
-            nc=off + 3 * ncp,
+            nc=off + 3 * ncp + 3 * n_pairs,
             dt=float(opts.dt),
             eq_blocks=tuple(
                 BlockSpec("equality", i, 1) for i in range(n_eq)
             ),
             bounds_span=(n_eq, len(bj)) if bj else None,
-            contact_colors=colors,
+            contact_colors=tuple(colors),
             iters=opts.pgs_iters,
             relax=opts.pgs_relax,
             reg=opts.pgs_reg,
@@ -436,23 +445,83 @@ class Engine:
             # wrench input is always on: zero-cost when fed zeros, and it
             # keeps push-disturbance training (base_wrench) on this path
             base_wrench=True,
+            pairs=self._pair_set,
+            randomized=randomized,
         )
-        self._substep_gmode = gmode
-        self._substep_fourier = fourier  # kept for tests/back-compat
-        self._substep_spec = spec
+        if not randomized:
+            self._substep_gmode = gmode
+            self._substep_fourier = fourier  # kept for tests/back-compat
+            self._substep_spec = spec
+        else:
+            self._substep_spec_rand = spec
 
         # per-env terrain rides a traced coefficient argument (vmapped
         # callers pass per-env coefficients — reference: random ground
-        # per reset, SURVEY.md §2.4); the wrench input is always last
+        # per reset, SURVEY.md §2.4); the wrench input is next, then the
+        # optional packed model-parameter vector for randomized variants
         if spec.n_gc:
-            call = lambda q, v, tau, lam0, gc, w0: substep_batched_pallas(
-                spec, q, v, tau, lam0, gc, w0
-            )
+            if randomized:
+                call = lambda q, v, tau, lam0, gc, w0, mp: (
+                    substep_batched_pallas(
+                        spec, q, v, tau, lam0, gc, w0, mp=mp
+                    )
+                )
+            else:
+                call = lambda q, v, tau, lam0, gc, w0: (
+                    substep_batched_pallas(spec, q, v, tau, lam0, gc, w0)
+                )
         else:
-            call = lambda q, v, tau, lam0, w0: substep_batched_pallas(
-                spec, q, v, tau, lam0, wrench=w0
-            )
+            if randomized:
+                call = lambda q, v, tau, lam0, w0, mp: (
+                    substep_batched_pallas(
+                        spec, q, v, tau, lam0, wrench=w0, mp=mp
+                    )
+                )
+            else:
+                call = lambda q, v, tau, lam0, w0: (
+                    substep_batched_pallas(spec, q, v, tau, lam0, wrench=w0)
+                )
         return _kernel_custom_vmap(call, 5)
+
+    def _get_rand_substep_fn(self):
+        """Randomized-kernel variant (built lazily, cached). None when
+        the nominal kernel is out of scope — callers fall back to the
+        XLA path exactly as before."""
+        if not self._rand_checked:
+            self._rand_checked = True
+            if self._substep_fn is not None:
+                self._substep_fn_rand = self._build_substep_kernel(
+                    randomized=True
+                )
+        return self._substep_fn_rand
+
+    def _pack_model_params(self, model_params) -> jax.Array:
+        """ModelParams → the (n_mp,) packed lane input of the randomized
+        kernel: PERTURBED mass ‖ h ‖ I_sym ‖ armature [‖ motor gain ‖
+        friction scale] (layout: ops/substep_kernel._unpack_mp). Applied
+        per env step on the host XLA side — cheap (tiny (nb,3,3) math)
+        and amortized over all fused substeps."""
+        t2 = model_params.apply_to_tree(self.tree)
+        I = t2.inertia_mat
+        I6 = jnp.stack(
+            [I[:, 0, 0], I[:, 1, 1], I[:, 2, 2],
+             I[:, 0, 1], I[:, 0, 2], I[:, 1, 2]],
+            axis=-1,
+        )
+        parts = [
+            t2.inertia_mass,
+            t2.inertia_h.reshape(-1),
+            I6.reshape(-1),
+            t2.armature,
+        ]
+        if self._substep_spec.torque is not None:
+            parts += [
+                model_params.motor_gain,
+                model_params.motor_friction_scale,
+            ]
+        return jnp.concatenate(
+            [jnp.asarray(p, jnp.float32) for p in parts]
+        )
 
     def _kernel_ground_ok(self, ground) -> bool:
         """Is ``ground`` servable by the built substep kernel? Flat
@@ -535,35 +604,52 @@ class Engine:
             np.asarray(m.friction_vel_eps), kp=kp, kd=kd,
         )
 
-    def _get_multi_substep_fn(self, n_sub: int):
+    def _get_multi_substep_fn(self, n_sub: int, randomized: bool = False):
         """The n_sub-substep fused kernel (one launch per env step),
         custom_vmap'd like the single-substep kernel; built lazily per
-        substep count and cached (trace-time side effect — the build is
-        pure numpy)."""
-        fn = self._multi_substep_fns.get(n_sub)
+        (substep count, randomized) and cached (trace-time side effect —
+        the build is pure numpy)."""
+        key = (n_sub, randomized)
+        fn = self._multi_substep_fns.get(key)
         if fn is not None:
             return fn
         from jiminy_tpu.ops.substep_kernel import (
             substep_batched_pallas_multi,
         )
 
-        spec = self._substep_spec
+        spec = (
+            self._substep_spec_rand if randomized else self._substep_spec
+        )
 
         if spec.n_gc:
-            call = (
-                lambda q, v, cmd, lam0, gc, w0: substep_batched_pallas_multi(
-                    spec, n_sub, q, v, cmd, lam0, gc, w0
+            if randomized:
+                call = lambda q, v, cmd, lam0, gc, w0, mp: (
+                    substep_batched_pallas_multi(
+                        spec, n_sub, q, v, cmd, lam0, gc, w0, mp=mp
+                    )
                 )
-            )
+            else:
+                call = lambda q, v, cmd, lam0, gc, w0: (
+                    substep_batched_pallas_multi(
+                        spec, n_sub, q, v, cmd, lam0, gc, w0
+                    )
+                )
         else:
-            call = (
-                lambda q, v, cmd, lam0, w0: substep_batched_pallas_multi(
-                    spec, n_sub, q, v, cmd, lam0, wrench=w0
+            if randomized:
+                call = lambda q, v, cmd, lam0, w0, mp: (
+                    substep_batched_pallas_multi(
+                        spec, n_sub, q, v, cmd, lam0, wrench=w0, mp=mp
+                    )
                 )
-            )
+            else:
+                call = lambda q, v, cmd, lam0, w0: (
+                    substep_batched_pallas_multi(
+                        spec, n_sub, q, v, cmd, lam0, wrench=w0
+                    )
+                )
         multi = _kernel_custom_vmap(call, 7)
 
-        self._multi_substep_fns[n_sub] = multi
+        self._multi_substep_fns[key] = multi
         return multi
 
     @property
@@ -781,16 +867,29 @@ class Engine:
         opts = self.options
 
         # whole-substep Pallas fast path (one kernel launch per substep).
-        # model_params forces the XLA path: the kernel bakes inertial
-        # constants at build time (see engine/randomization.py docstring)
-        if (
+        # model_params rides the randomized-kernel variant (perturbed
+        # inertials as a traced lane input — engine/randomization.py);
+        # only configs with no randomized kernel fall back to XLA.
+        use_kernel = (
             self._substep_fn is not None
             and fext_user is None
             and contact_params is None
-            and model_params is None
             and self._kernel_ground_ok(ground)
-        ):
-            tau = self._joint_torque(u, q, v, t)
+        )
+        kfn = self._substep_fn
+        mp_vec = None
+        if use_kernel and model_params is not None:
+            kfn = self._get_rand_substep_fn()
+            if kfn is None:
+                use_kernel = False
+            else:
+                mp_vec = self._pack_model_params(model_params)
+        if use_kernel:
+            motors_rt = (
+                model_params.apply_to_motors(self.motors)
+                if model_params is not None else None
+            )
+            tau = self._joint_torque(u, q, v, t, motors=motors_rt)
             lam_w = (
                 lam0
                 if lam0 is not None
@@ -801,15 +900,13 @@ class Engine:
                 if base_wrench is not None
                 else jnp.zeros(6, dtype=q.dtype)
             )
+            args = [q, v, tau, lam_w]
             if self._substep_gmode != "flat":
-                gc = self._ground_coef(ground)
-                q2, v2, lam, res, fc = self._substep_fn(
-                    q, v, tau, lam_w, gc, w0
-                )
-            else:
-                q2, v2, lam, res, fc = self._substep_fn(
-                    q, v, tau, lam_w, w0
-                )
+                args.append(self._ground_coef(ground))
+            args.append(w0)
+            if mp_vec is not None:
+                args.append(mp_vec)
+            q2, v2, lam, res, fc = kfn(*args)
             return q2, v2, fc / dt, res, lam, (v2 - v) / dt, tau
 
         # per-env contact-parameter override (domain randomization: the
@@ -1086,8 +1183,10 @@ class Engine:
         reference: registerImpulseForce on the base). Unlike the generic
         ``fext_user`` (nb, 6), it stays on the whole-substep kernel
         paths. ``model_params`` (engine/randomization.ModelParams)
-        perturbs inertial/motor constants per env — XLA path only (the
-        kernels bake those constants; silent fallback, same physics)."""
+        perturbs inertial/motor constants per env; it rides the
+        randomized-kernel variant (perturbed values as a traced lane
+        input), falling back to XLA only when no kernel is in scope
+        (silent fallback, same physics)."""
         ground = ground if ground is not None else self.ground
         dt = self.options.dt
         stepper = self._stepper
@@ -1099,31 +1198,38 @@ class Engine:
         # kernel launch with (q, v, λ) VMEM-resident and τ recomputed
         # in-kernel between substeps (docs/tpu_performance.md headroom;
         # the reference's per-breakpoint inner loop collapses entirely)
-        if (
+        use_fused = (
             self.options.substep_fusion
             and self._use_impulse
             and self._substep_fn is not None
             and self._substep_spec.torque is not None
             and fext_user is None
             and contact_params is None
-            and model_params is None
             and self._kernel_ground_ok(ground)
-        ):
-            fn = self._get_multi_substep_fn(n_substeps)
+        )
+        mp_vec = None
+        if use_fused and model_params is not None:
+            # per-env randomization rides the randomized kernel variant
+            if self._get_rand_substep_fn() is None:
+                use_fused = False
+            else:
+                mp_vec = self._pack_model_params(model_params)
+        if use_fused:
+            fn = self._get_multi_substep_fn(
+                n_substeps, randomized=mp_vec is not None
+            )
             w0 = (
                 base_wrench
                 if base_wrench is not None
                 else jnp.zeros(6, dtype=state.q.dtype)
             )
+            args = [state.q, state.v, u, state.lam]
             if self._substep_gmode != "flat":
-                q, v, lam, res, fc, a, tau = fn(
-                    state.q, state.v, u, state.lam,
-                    self._ground_coef(ground), w0,
-                )
-            else:
-                q, v, lam, res, fc, a, tau = fn(
-                    state.q, state.v, u, state.lam, w0
-                )
+                args.append(self._ground_coef(ground))
+            args.append(w0)
+            if mp_vec is not None:
+                args.append(mp_vec)
+            q, v, lam, res, fc, a, tau = fn(*args)
             dt_ = state.q.dtype
             return SimState(
                 t=state.t + n_substeps * dt,

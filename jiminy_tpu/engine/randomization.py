@@ -13,11 +13,13 @@ terrain randomization pattern (``Engine.step(contact_params=...)`` /
 functionally (``apply_to_tree`` returns a new KinematicTree pytree with
 the same static topology), so nothing about the engine object mutates.
 
-Kernel compatibility: the whole-substep Pallas kernels bake inertial
-constants at build time (ops/substep_kernel.py SubstepSpec), so a step
-with ``model_params`` falls back to the XLA impulse path — same physics,
-~5× slower on TPU. Randomized TRAINING therefore pays the XLA price;
-nominal evaluation of the trained policy rides the kernel as usual.
+Kernel compatibility: a step with ``model_params`` rides the
+RANDOMIZED whole-substep kernel variant — the perturbed inertial/motor
+constants are packed per env into one traced lane input
+(Engine._pack_model_params → ops/substep_kernel._unpack_mp) instead of
+being baked, so domain-randomized training keeps fused-kernel speed
+(round 4 measured the XLA fallback at 21× slower end-to-end; round 5
+removed it). The XLA path remains for configs with no kernel in scope.
 """
 
 from __future__ import annotations

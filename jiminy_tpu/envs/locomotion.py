@@ -76,9 +76,9 @@ class WalkerEnv(BaseEnv):
         self.ground_sampler = ground_sampler
         # per-episode inertial/motor/sensor randomization (reference:
         # model randomization hooks, SURVEY.md §2.1 "Model"). Params are
-        # pytree leaves in info → resampled on every auto-reset; the
-        # engine falls back to the XLA path while they are active (the
-        # kernels bake inertial constants — engine/randomization.py).
+        # pytree leaves in info → resampled on every auto-reset; they
+        # ride the randomized whole-substep kernel variant at full
+        # speed (engine/randomization.py).
         self.model_randomization = model_randomization
         if ground_sampler is not None:
             if ground is not None:
@@ -125,8 +125,8 @@ class WalkerEnv(BaseEnv):
             # multi-substep kernel (an opaque closure cannot be)
             controller=PDController(kp, kd),
             constraints=constraints,
-            # declared body-body/self-collision pairs (gates the
-            # whole-substep kernel off — engine auto-select falls back)
+            # declared body-body/self-collision pairs (resolved
+            # in-kernel on the whole-substep fast path)
             collision_pairs=tuple(collision_pairs),
         )
         # sensor-driven observation path: the policy sees delayed/biased/

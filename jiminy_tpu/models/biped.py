@@ -52,7 +52,7 @@ def cassie_self_collision_pairs(radius: float = 0.04):
     when a gait collapses inward). Reference: jiminy activates
     self-collision pairs through hpp-fcl (SURVEY.md §2.1 "Model");
     here the static pair list feeds the PGS narrow phase
-    (engine/collision.py). Whole-substep kernel gates off when active."""
+    (engine/collision.py), in-kernel on the whole-substep fast path."""
     from jiminy_tpu.engine.collision import Capsule, CollisionPair
 
     def seg(side, body, length):

@@ -17,7 +17,10 @@ Scope (gated in the engine; anything else falls back to the per-op
 paths): euler_symplectic stepper, constraint contact model, flat /
 Fourier / analytic-stairs ground (per-env coefficients as a traced
 input), FREE/REVOLUTE/PRISMATIC joints, DistanceConstraint closed
-loops, no external forces. Joint torque (controller + motor model +
+loops, declared collision pairs (in-kernel narrow phase), per-env
+model randomization (inertial/motor lanes as a traced input — see
+SubstepSpec.randomized), no external forces. Joint torque (controller
++ motor model +
 springs) is computed outside for the single-substep kernel; the
 multi-substep kernel (substep_batched_pallas_multi) recomputes it
 IN-KERNEL from a declarative TorqueSpec and runs all n_substeps of an
@@ -191,7 +194,8 @@ class SubstepSpec:
                  friction: float, dist_constraints=(),
                  ground_mode: str = "flat", n_fourier: int = 0,
                  torque: "TorqueSpec | None" = None,
-                 base_wrench: bool = False):
+                 base_wrench: bool = False, pairs=None,
+                 randomized: bool = False):
         f = lambda a: np.asarray(a, np.float64)
         self.nb = tree.nb
         self.nq, self.nv = tree.nq, tree.nv
@@ -262,6 +266,45 @@ class SubstepSpec:
         # external-force registry applied to the base; zero-cost when
         # fed zeros, so engines enable it unconditionally)
         self.base_wrench = bool(base_wrench)
+        # declared body-body/self-collision pairs (engine/collision.py
+        # CollisionPairSet): each contributes one [t1, t2, n] PGS block
+        # with its own solver color, assembled IN-KERNEL from the same
+        # branchless segment-segment narrow phase as the XLA path
+        # (reference: hpp-fcl pairs resolved inside the engine's hot
+        # loop, SURVEY.md §2.1 "Engine")
+        self.pairs = []
+        if pairs is not None:
+            for k in range(pairs.n):
+                self.pairs.append((
+                    int(pairs.body_a[k]),
+                    [float(x) for x in pairs.a0[k]],
+                    [float(x) for x in pairs.a1[k]],
+                    float(pairs.ra[k]),
+                    int(pairs.body_b[k]),
+                    [float(x) for x in pairs.b0[k]],
+                    [float(x) for x in pairs.b1[k]],
+                    float(pairs.rb[k]),
+                    float(pairs.mu[k]),
+                ))
+        # per-env model randomization: when True, the PERTURBED inertial
+        # constants (mass, h, origin inertia, armature [+ motor gain /
+        # friction scales when torque is baked]) arrive as one packed
+        # (n_mp,) traced lane input instead of baked python floats —
+        # kills the XLA-fallback tax on domain-randomized training
+        # (reference: model randomization hooks, SURVEY.md §2.1 "Model")
+        self.randomized = bool(randomized)
+
+    @property
+    def n_mp(self) -> int:
+        """Width of the per-env model-parameter input (0 = baked).
+        Layout: mass (nb) ‖ h (3·nb) ‖ I_sym xx,yy,zz,xy,xz,yz (6·nb) ‖
+        armature (nv) [‖ motor gain (nm) ‖ motor friction scale (nm)]."""
+        if not self.randomized:
+            return 0
+        n = 10 * self.nb + self.nv
+        if self.torque is not None:
+            n += 2 * self.torque.nm
+        return n
 
     @property
     def n_gc(self) -> int:
@@ -313,14 +356,17 @@ class TorqueSpec:
         return len(self.v_idx)
 
 
-def _compute_tau(spec: SubstepSpec, q, v, cmd):
+def _compute_tau(spec: SubstepSpec, q, v, cmd, mscale=None):
     """engine._joint_torque in lane-major form: PD / direct motor command
     → effort clamp → reduction → velocity derate → − friction, then
     joint damping and 1-DoF joint springs (hardware/motors.py
     compute_effort + engine._spring_torques; FREE joints and spherical
     flexibility are outside the kernel's joint scope). Returns a list of
-    nv lane values."""
+    nv lane values. ``mscale`` = (gain, fric) per-motor lane scales for
+    randomized models (ModelParams.apply_to_motors: gain multiplies the
+    reduction, fric multiplies dry + viscous friction)."""
     ts = spec.torque
+    gain_s, fric_s = mscale if mscale is not None else (None, None)
     zero = jnp.zeros_like(q[0])
     tau = [zero] * spec.nv
     for m in range(ts.nm):
@@ -332,7 +378,10 @@ def _compute_tau(spec: SubstepSpec, q, v, cmd):
             u = cmd[m]
         el = ts.effort_limit[m]
         u = jnp.clip(u, -el, el)
-        tau_m = ts.reduction[m] * u
+        red = ts.reduction[m]
+        if gain_s is not None:
+            red = red * gain_s[m]
+        tau_m = red * u
         vl = ts.velocity_limit[m]
         over = jnp.clip(
             (jnp.abs(v_j) - vl) / (0.1 * max(vl, 1e-6)), 0.0, 1.0
@@ -342,6 +391,8 @@ def _compute_tau(spec: SubstepSpec, q, v, cmd):
         fric = ts.friction_dry[m] * jnp.tanh(
             v_j / ts.friction_vel_eps[m]
         ) + ts.friction_viscous[m] * v_j
+        if fric_s is not None:
+            fric = fric * fric_s[m]
         tau[vi] = tau[vi] + tau_m - fric
     for r in range(spec.nv):
         d = float(spec.damping[r])
@@ -364,18 +415,87 @@ def _lane(x, like):
     return x
 
 
+def _unpack_mp(spec: SubstepSpec, mp_ref):
+    """Per-env model-parameter block → (inert, arm, gain, fric): inert a
+    list of nb (m, h, I) lane tuples, arm a list of nv lane armatures,
+    gain/fric per-motor lane scales (None when no torque path). Layout
+    mirrors Engine._pack_model_params / SubstepSpec.n_mp."""
+    nb, nv = spec.nb, spec.nv
+    o = 0
+    mass = [mp_ref[o + i, 0] for i in range(nb)]
+    o += nb
+    h = [[mp_ref[o + 3 * i + k, 0] for k in range(3)] for i in range(nb)]
+    o += 3 * nb
+    inert = []
+    for i in range(nb):
+        xx, yy, zz, xy, xz, yz = (
+            mp_ref[o + 6 * i + k, 0] for k in range(6)
+        )
+        inert.append(
+            (mass[i], h[i], [[xx, xy, xz], [xy, yy, yz], [xz, yz, zz]])
+        )
+    o += 6 * nb
+    arm = [mp_ref[o + r, 0] for r in range(nv)]
+    o += nv
+    gain = fric = None
+    if spec.torque is not None:
+        nm = spec.torque.nm
+        gain = [mp_ref[o + m, 0] for m in range(nm)]
+        o += nm
+        fric = [mp_ref[o + m, 0] for m in range(nm)]
+        o += nm
+    return inert, arm, gain, fric
+
+
+def _seg_seg_lane(p1, q1, p2, q2, eps=1e-9):
+    """Closest points between segments [p1,q1], [p2,q2] of lane vec3s —
+    engine/collision.closest_segment_segment (Ericson §5.1.9, branchless)
+    mirrored element-wise so both backends run the identical narrow
+    phase. Returns (ca, cb)."""
+    d1 = v_sub(q1, p1)
+    d2 = v_sub(q2, p2)
+    r = v_sub(p1, p2)
+    a = v_dot(d1, d1)
+    e = v_dot(d2, d2)
+    f = v_dot(d2, r)
+    c = v_dot(d1, r)
+    b = v_dot(d1, d2)
+    denom = a * e - b * b
+    s = jnp.where(
+        denom > eps,
+        jnp.clip((b * f - c * e) / jnp.maximum(denom, eps), 0.0, 1.0),
+        0.0,
+    )
+    t = jnp.where(e > eps, (b * s + f) / jnp.maximum(e, eps), 0.0)
+    t_cl = jnp.clip(t, 0.0, 1.0)
+    s = jnp.where(
+        t != t_cl,
+        jnp.where(
+            a > eps,
+            jnp.clip((t_cl * b - c) / jnp.maximum(a, eps), 0.0, 1.0),
+            0.0,
+        ),
+        s,
+    )
+    t = t_cl
+    return v_add(p1, v_scale(d1, s)), v_add(p2, v_scale(d2, t))
+
+
 # ---------------------------------------------------------------------------
 # Kernel body
 # ---------------------------------------------------------------------------
 
 
 def _substep_math(spec: SubstepSpec, q, v, tau, lam0, gq,
-                  T_ref, L_ref, X_ref, A_ref, w0=None):
+                  T_ref, L_ref, X_ref, A_ref, w0=None, mp=None):
     """One substep on lane-major VALUES: q (nq) / v, tau (nv) lists of
     (S,128) lane vectors, lam0 (nc,S,128), gq = None (flat ground) | a
     ``(px, py) → (h, dz/dx, dz/dy)`` lane closure (Fourier / stairs —
     see _ground_query), w0 = None | 6 lanes of a LOCAL [ang; lin]
-    spatial wrench on the root body (push disturbances). The scratch
+    spatial wrench on the root body (push disturbances), mp = None |
+    (inert, arm) per-env inertial lanes from _unpack_mp (randomized
+    models — replaces the baked constants in RNEA/CRBA/armature only;
+    kinematics and Jacobians are geometric and unaffected). The scratch
     refs are destroyed. Returns (q_next list, v_next (nv,S,128),
     λ (nc,S,128), residual (S,128), f_contact (3·ncp,S,128) | None).
     Shared by the single-substep body and the multi-substep fori_loop
@@ -392,6 +512,22 @@ def _substep_math(spec: SubstepSpec, q, v, tau, lam0, gq,
 
     def lane(x):
         return _lane(x, zero)
+
+    # per-body spatial inertias + per-dof armature: baked python floats
+    # (nominal model) or traced lanes (per-env randomization)
+    if mp is None:
+        inert = [
+            (
+                float(spec.mass[i]),
+                [float(x) for x in spec.h[i]],
+                [[float(spec.inertia[i][r][c2]) for c2 in range(3)]
+                 for r in range(3)],
+            )
+            for i in range(nb)
+        ]
+        arm = [float(spec.armature[r]) for r in range(nv)]
+    else:
+        inert, arm = mp
 
     # ---- local transforms X_λi = joint_placement ∘ X_J(q_i) -------------
     xl = []  # list of (R, p)
@@ -468,10 +604,7 @@ def _substep_math(spec: SubstepSpec, q, v, tau, lam0, gq,
         acc.append(
             ([_lane(x, zero) for x in aw], [_lane(x, zero) for x in av])
         )
-        m_i = float(spec.mass[i])
-        h_i = [float(x) for x in spec.h[i]]
-        I_i = [[float(spec.inertia[i][r][c2]) for c2 in range(3)]
-               for r in range(3)]
+        m_i, h_i, I_i = inert[i]
         fa, fl = inertia_mul_motion(m_i, h_i, I_i, *acc[i])
         va, vl = inertia_mul_motion(m_i, h_i, I_i, *vel[i])
         ca, cl = force_cross6(*vel[i], va, vl)
@@ -502,15 +635,7 @@ def _substep_math(spec: SubstepSpec, q, v, tau, lam0, gq,
             fb[p] = (v_add(fb[p][0], pa), v_add(fb[p][1], pl))
 
     # ---- CRBA mass matrix (algos.crba) + armature + implicit diag -------
-    Ic = [
-        (
-            float(spec.mass[i]),
-            [float(x) for x in spec.h[i]],
-            [[float(spec.inertia[i][r][c2]) for c2 in range(3)]
-             for r in range(3)],
-        )
-        for i in range(nb)
-    ]
+    Ic = list(inert)
     M = [[None] * nv for _ in range(nv)]
 
     def dof_cols(i):
@@ -565,7 +690,7 @@ def _substep_math(spec: SubstepSpec, q, v, tau, lam0, gq,
                     M[vo_j + b][vo_i + a] = val
 
     for r in range(nv):
-        extra = float(spec.armature[r]) + dt * float(spec.damping[r]) \
+        extra = arm[r] + dt * float(spec.damping[r]) \
             + dt * dt * float(spec.stiffness[r])
         for c2 in range(nv):
             if M[r][c2] is None:
@@ -727,12 +852,73 @@ def _substep_math(spec: SubstepSpec, q, v, tau, lam0, gq,
         )
         active.extend([a_k, a_k, a_k])
 
+    # ---- declared collision pairs: branchless narrow phase + one
+    # [t1, t2, n] block per pair (own solver color), mirroring
+    # engine/collision.pair_rows exactly so both backends agree
+    mu_pairs = []
+    for (ba, a0l, a1l, ra_k, bb, b0l, b1l, rb_k, mu_k) in spec.pairs:
+        def world(b, pl):
+            pt = v_add(m_vec(xw[b][0], pl), xw[b][1])
+            return [lane(x) for x in pt]
+
+        pa0 = world(ba, a0l)
+        pa1 = world(ba, a1l)
+        pb0 = world(bb, b0l)
+        pb1 = world(bb, b1l)
+        ca, cb = _seg_seg_lane(pa0, pa1, pb0, pb1)
+        d_vec = v_sub(ca, cb)
+        dist = jnp.sqrt(v_dot(d_vec, d_vec) + 1e-18)
+        nk = [d_vec[r] / dist for r in range(3)]  # from B toward A
+        depth_k = (ra_k + rb_k) - dist
+        # material surface points (lever arms included)
+        sa = [ca[r] - ra_k * nk[r] for r in range(3)]
+        sb = [cb[r] + rb_k * nk[r] for r in range(3)]
+        cnd = jnp.abs(nk[0]) < 0.9
+        ref = [
+            jnp.where(cnd, 1.0, 0.0),
+            jnp.where(cnd, 0.0, 1.0),
+            zero,
+        ]
+        t1 = v_cross(nk, ref)
+        t1n = jax.lax.rsqrt(v_dot(t1, t1) + 1e-18)
+        t1 = [t1[r] * t1n for r in range(3)]
+        t2 = v_cross(nk, t1)
+        Ja = point_jac(ba, sa)
+        Jb = point_jac(bb, sb)
+        Jrel = [
+            [Ja[r][c2] - Jb[r][c2] for c2 in range(nv)] for r in range(3)
+        ]
+        for dvec_ in (t1, t2, nk):
+            rows_J.append(
+                [
+                    dvec_[0] * Jrel[0][c2] + dvec_[1] * Jrel[1][c2]
+                    + dvec_[2] * Jrel[2][c2]
+                    for c2 in range(nv)
+                ]
+            )
+        v_corr_k = jnp.where(
+            depth_k > 0.0,
+            jnp.clip(
+                (alpha / dt) * (depth_k - float(opts.contact_slop)),
+                0.0,
+                float(opts.contact_max_correction_vel),
+            ),
+            depth_k * (1.0 / dt),
+        )
+        target.extend([zero, zero, v_corr_k])
+        a_k = jnp.where(
+            depth_k > -float(opts.contact_margin), 1.0, 0.0
+        )
+        active.extend([a_k, a_k, a_k])
+        mu_pairs.extend([lane(mu_k)] * 3)
+
     nc = len(rows_J)
     assert nc == cfg.nc, (nc, cfg.nc)
     mu_row = (
         [lane(0.0)] * (len(spec.dist_constraints)
                        + len(spec.bounded_joints))
         + [lane(spec.friction)] * (3 * ncp)
+        + mu_pairs
     )
 
     # ---- shared solve chain (lane-major stacked arrays) -----------------
@@ -950,6 +1136,10 @@ def _substep_body(spec: SubstepSpec, refs):
     if spec.base_wrench:
         w_ref = refs.pop(0)
         w0 = [w_ref[j, 0] for j in range(6)]
+    mp = None
+    if spec.randomized:
+        inert, arm, _, _ = _unpack_mp(spec, refs.pop(0))
+        mp = (inert, arm)
     (qn_ref, vn_ref, lam_ref, res_ref, fc_ref,
      T_ref, L_ref, X_ref, A_ref) = refs
     q = [q_ref[i, 0] for i in range(spec.nq)]
@@ -957,7 +1147,7 @@ def _substep_body(spec: SubstepSpec, refs):
     tau = [tau_ref[i, 0] for i in range(spec.nv)]
     q_next, v_next, lam_out, res, fc = _substep_math(
         spec, q, v, tau, lam0_ref[:, 0], gq, T_ref, L_ref, X_ref, A_ref,
-        w0=w0,
+        w0=w0, mp=mp,
     )
     qn_ref[:, 0] = jnp.stack(q_next)
     vn_ref[:, 0] = v_next
@@ -1045,23 +1235,26 @@ def _lane_kernel_call(spec: SubstepSpec, kernel_body, inputs, out_dims,
     return [back(o) for o in outs]
 
 
-def _check_kernel_inputs(spec: SubstepSpec, gcoef, wrench):
+def _check_kernel_inputs(spec: SubstepSpec, gcoef, wrench, mp=None):
     if (spec.n_gc > 0) != (gcoef is not None):
         raise ValueError("gcoef required iff the ground has per-env "
                          "coefficients (fourier/stairs)")
     if spec.base_wrench != (wrench is not None):
         raise ValueError("wrench (B,6) required iff spec.base_wrench")
+    if spec.randomized != (mp is not None):
+        raise ValueError("mp (B,n_mp) required iff spec.randomized")
 
 
 def substep_batched_pallas(spec: SubstepSpec, q, v, tau, lam0, gcoef=None,
-                           wrench=None, interpret=None):
+                           wrench=None, mp=None, interpret=None):
     """Batched whole substep: q (B,nq), v/tau (B,nv), lam0 (B,nc)
     [+ gcoef when spec.n_gc > 0 — (B,4K) Fourier coefficients
     (amp ‖ kx ‖ ky ‖ phase) or (B,5) stairs parameters (width ‖ height ‖
     n_steps ‖ ramp ‖ x0)] [+ wrench (B,6) LOCAL [ang; lin] root-body
-    spatial wrench when spec.base_wrench] →
+    spatial wrench when spec.base_wrench] [+ mp (B,n_mp) packed per-env
+    model parameters when spec.randomized — SubstepSpec.n_mp layout] →
     (q_next, v_next, λ, residual, f_contact (B,ncp,3) world impulses)."""
-    _check_kernel_inputs(spec, gcoef, wrench)
+    _check_kernel_inputs(spec, gcoef, wrench, mp)
     n, nc, nq, ncp = spec.nv, spec.cfg.nc, spec.nq, spec.ncp
     nfc = max(3 * ncp, 1)
     B = q.shape[0]
@@ -1070,6 +1263,8 @@ def substep_batched_pallas(spec: SubstepSpec, q, v, tau, lam0, gcoef=None,
         inputs.append((gcoef, "repeat"))
     if wrench is not None:
         inputs.append((wrench, "zero"))
+    if mp is not None:
+        inputs.append((mp, "repeat"))
     qn, vn, lam, res, fc = _lane_kernel_call(
         spec, lambda *refs: _substep_body(spec, refs), inputs,
         (nq, n, nc, 1, nfc), interpret,
@@ -1103,6 +1298,11 @@ def _substep_multi_body(spec: SubstepSpec, n_sub: int, refs):
     if spec.base_wrench:
         w_ref = refs.pop(0)
         w0 = [w_ref[j, 0] for j in range(6)]
+    mp = mscale = None
+    if spec.randomized:
+        inert, arm, gain, fric = _unpack_mp(spec, refs.pop(0))
+        mp = (inert, arm)
+        mscale = (gain, fric)
     (qn_ref, vn_ref, lam_ref, res_ref, fc_ref, a_ref, tauo_ref,
      T_ref, L_ref, X_ref, A_ref) = refs
     nq, nv = spec.nq, spec.nv
@@ -1113,10 +1313,10 @@ def _substep_multi_body(spec: SubstepSpec, n_sub: int, refs):
         qs, vs, lams = carry
         q = [qs[i] for i in range(nq)]
         v = [vs[i] for i in range(nv)]
-        tau = _compute_tau(spec, q, v, cmd)
+        tau = _compute_tau(spec, q, v, cmd, mscale=mscale)
         q_next, v_next, lam_out, res, fc = _substep_math(
             spec, q, v, tau, lams, gq, T_ref, L_ref, X_ref, A_ref,
-            w0=w0,
+            w0=w0, mp=mp,
         )
         # per-iteration output writes: the LAST substep's values survive
         res_ref[0, 0] = res
@@ -1138,17 +1338,18 @@ def _substep_multi_body(spec: SubstepSpec, n_sub: int, refs):
 
 def substep_batched_pallas_multi(spec: SubstepSpec, n_sub: int, q, v,
                                  cmd, lam0, gcoef=None, wrench=None,
-                                 interpret=None):
+                                 mp=None, interpret=None):
     """Batched ``n_sub``-substep advance in one kernel launch: q (B,nq),
     v (B,nv), cmd (B,nm) motor command / PD target (zero-order hold),
     lam0 (B,nc) [+ gcoef as in substep_batched_pallas: (B,4K) Fourier /
-    (B,5) stairs] [+ wrench (B,6) root-body spatial wrench] → (q⁺, v⁺, λ,
+    (B,5) stairs] [+ wrench (B,6) root-body spatial wrench] [+ mp
+    (B,n_mp) per-env model parameters when spec.randomized] → (q⁺, v⁺, λ,
     residual, f_contact (B,ncp,3) impulses, a (B,nv), τ (B,nv)) — the
     last two are the final substep's accepted acceleration and applied
     torque. Requires ``spec.torque`` (the in-kernel actuation path)."""
     if spec.torque is None:
         raise ValueError("multi-substep kernel requires spec.torque")
-    _check_kernel_inputs(spec, gcoef, wrench)
+    _check_kernel_inputs(spec, gcoef, wrench, mp)
     n, nc, nq, ncp = spec.nv, spec.cfg.nc, spec.nq, spec.ncp
     nfc = max(3 * ncp, 1)
     B = q.shape[0]
@@ -1157,6 +1358,8 @@ def substep_batched_pallas_multi(spec: SubstepSpec, n_sub: int, q, v,
         inputs.append((gcoef, "repeat"))
     if wrench is not None:
         inputs.append((wrench, "zero"))
+    if mp is not None:
+        inputs.append((mp, "repeat"))
     qn, vn, lam, res, fc, acc, tau = _lane_kernel_call(
         spec, lambda *refs: _substep_multi_body(spec, n_sub, refs),
         inputs, (nq, n, nc, 1, nfc, n, n), interpret,

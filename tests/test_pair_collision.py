@@ -189,6 +189,112 @@ class TestSelfCollision:
         assert jnp.isfinite(elbow_blocked)
 
 
+class TestPairKernel:
+    """Collision pairs resolved IN the whole-substep Pallas kernel
+    (VERDICT r4 next #2): the lane-major narrow phase + [t1,t2,n] pair
+    blocks must match the XLA path's pair_rows assembly."""
+
+    def test_two_sphere_kernel_matches_xla(self):
+        tree = _two_ball_tree()
+        r = 0.1
+        pairs = (
+            CollisionPair(
+                Sphere("robot0/ball_a", (0, 0, 0), r),
+                Sphere("robot1/ball_b", (0, 0, 0), r),
+                friction=0.4,
+            ),
+        )
+        outs = {}
+        for backend in ("xla", "pallas_substep"):
+            eng = Engine(
+                tree,
+                EngineOptions(
+                    dt=1e-3, contact_model="constraint", pgs_iters=16,
+                    constraint_solver=backend,
+                    compute_solver_residual=True,
+                ),
+                collision_pairs=pairs,
+            )
+            # already touching with closing + tangential velocity so
+            # friction rows do real work
+            q = tree.neutral_q().at[7].set(2 * r - 1e-3)
+            v = (
+                jnp.zeros(tree.nv)
+                .at[0].set(1.0)   # closing
+                .at[1].set(0.3)   # tangential
+            )
+            B = 4
+            qb = jnp.tile(q, (B, 1))
+            vb = jnp.tile(v, (B, 1)) * jnp.linspace(
+                0.5, 1.5, B
+            )[:, None]
+            states = jax.vmap(lambda qq, vv: eng.reset(q=qq, v=vv))(
+                qb, vb
+            )
+            step = jax.jit(
+                jax.vmap(
+                    lambda s: eng.step(
+                        s, jnp.zeros(tree.nv), n_substeps=5
+                    )
+                )
+            )
+            outs[backend] = step(states)
+            if backend == "pallas_substep":
+                assert eng._substep_spec.pairs  # actually in-kernel
+        a, b = outs["xla"], outs["pallas_substep"]
+        np.testing.assert_allclose(b.q, a.q, atol=1e-5, rtol=1e-4)
+        np.testing.assert_allclose(b.v, a.v, atol=1e-3, rtol=1e-3)
+        np.testing.assert_allclose(b.lam, a.lam, atol=1e-4, rtol=1e-2)
+        # the pair actually acted: momentum transferred to ball_b (the
+        # final-substep λ may already be 0 once the impact has resolved)
+        assert np.all(np.asarray(a.v[:, 6]) > 0.05)
+
+    def test_capsule_pair_kernel_matches_xla(self):
+        """Capsule-capsule (the Cassie self-collision shape) through the
+        kernel narrow phase, revolute-joint arm."""
+        tree, l1, l2 = TestSelfCollision._arm()
+        pairs = (
+            CollisionPair(
+                Capsule("link1", (0.05, 0, 0), (0.45, 0, 0), 0.05),
+                Capsule("link2", (0.05, 0, 0), (0.45, 0, 0), 0.05),
+                friction=0.2,
+            ),
+        )
+        outs = {}
+        for backend in ("xla", "pallas_substep"):
+            eng = Engine(
+                tree,
+                EngineOptions(
+                    dt=1e-3, contact_model="constraint", pgs_iters=16,
+                    constraint_solver=backend,
+                    compute_solver_residual=True,
+                ),
+                collision_pairs=pairs,
+            )
+            # elbow folded near contact, still swinging
+            B = 3
+            q0 = jnp.array([0.0, 2.8])
+            qb = jnp.tile(q0, (B, 1)).at[:, 1].add(
+                jnp.array([0.0, 0.05, 0.1])
+            )
+            states = jax.vmap(lambda qq: eng.reset(q=qq))(qb)
+            states = states.replace(
+                v=jnp.tile(jnp.array([0.0, 2.0]), (B, 1))
+            )
+            step = jax.jit(
+                jax.vmap(
+                    lambda s: eng.step(
+                        s, jnp.zeros(tree.nv), n_substeps=5
+                    )
+                )
+            )
+            outs[backend] = step(states)
+        a, b = outs["xla"], outs["pallas_substep"]
+        np.testing.assert_allclose(b.q, a.q, atol=1e-5, rtol=1e-4)
+        np.testing.assert_allclose(b.v, a.v, atol=1e-3, rtol=1e-3)
+        assert float(jnp.max(jnp.abs(a.lam))) > 1e-4
+
+
 class TestRobotRobot:
     def test_merged_forest_contact_under_vmap(self):
         """Two merged robots collide; vmapped batch stays finite and the

@@ -304,6 +304,60 @@ class TestSubstepKernel:
         # different stair heights must produce different motion
         assert float(jnp.max(jnp.abs(out.v[0] - out.v[2]))) > 1e-5
 
+    def test_anymal_randomized_matches_xla(self):
+        """Per-env ModelParams on the SINGLE-substep kernel: the
+        randomized variant takes the perturbed inertials as a traced
+        lane input and must match the XLA path fed the same params
+        (VERDICT r4 next #1)."""
+        from jiminy_tpu.engine.randomization import ModelRandomization
+        from jiminy_tpu.models.quadruped import make_anymal, stand_q
+
+        robot = make_anymal()
+        tree = robot.tree
+        # substep_fusion off so the SINGLE-substep randomized kernel is
+        # exercised (the fused variant has its own test in
+        # test_substep_multi.py)
+        engines = _engines(
+            tree, motors=robot.motors, dt=5e-3, pgs_iters=8,
+            substep_fusion=False,
+        )
+        B = 4
+        mr = ModelRandomization(
+            mass_scale=(0.8, 1.2), com_offset=0.02,
+            inertia_scale=(0.8, 1.2), armature_scale=(0.7, 1.3),
+        )
+        mps = jax.vmap(lambda k: mr.sample(k, tree, robot.motors))(
+            jax.random.split(jax.random.PRNGKey(7), B)
+        )
+        # drop the base so the feet actually load (stand_q hovers 1 cm)
+        q0 = jnp.asarray(stand_q(tree)).at[2].add(-0.012)
+        qb = jnp.tile(q0, (B, 1))
+        u = jnp.zeros((B, robot.nmotors))
+        outs = {}
+        for backend, eng in engines.items():
+            states = jax.vmap(lambda q: eng.reset(q=q))(qb)
+            step = jax.jit(
+                jax.vmap(
+                    lambda s, uu, p: eng.step(
+                        s, uu, n_substeps=2, model_params=p
+                    )
+                )
+            )
+            outs[backend] = step(states, u, mps)
+        eng = engines["pallas_substep"]
+        assert eng._substep_fn_rand is not None
+        # layout: inertials + armature + motor gain/friction scales
+        assert eng._substep_spec_rand.n_mp == (
+            10 * tree.nb + tree.nv + 2 * robot.motors.nm
+        )
+        a, b = outs["xla"], outs["pallas_substep"]
+        np.testing.assert_allclose(b.q, a.q, atol=2e-4, rtol=1e-3)
+        np.testing.assert_allclose(b.v, a.v, atol=2e-2, rtol=1e-2)
+        # identical q0, different params → different physics (the
+        # loaded-contact response depends on the per-env mass draw;
+        # measured ~0.1 rad/s spread at 2 substeps)
+        assert float(jnp.max(jnp.abs(b.v[0] - b.v[1]))) > 1e-3
+
     def test_gating_rejects_unsupported(self):
         """Configs outside the kernel's scope fail loudly at build."""
         import pytest

@@ -89,7 +89,70 @@ class TestMultiSubstep:
         a, b = _step_both(engines, qb, u, n_substeps=4)
         _assert_close(a, b)
         # multi kernel actually built (and only for this substep count)
-        assert list(eng._multi_substep_fns) == [4]
+        assert list(eng._multi_substep_fns) == [(4, False)]
+
+    def test_anymal_pd_randomized_matches_xla(self):
+        """Per-env model randomization IN the fused kernel: perturbed
+        inertials/armature/motor scales arrive as a traced lane input
+        (VERDICT r4 next #1 — the 21× XLA-fallback training tax is
+        gone). Both backends get the same per-env ModelParams and must
+        agree; the multi kernel must be the randomized variant."""
+        from jiminy_tpu.engine.randomization import ModelRandomization
+        from jiminy_tpu.models.quadruped import make_anymal, stand_q
+
+        robot = make_anymal()
+        tree = robot.tree
+        engines = {
+            backend: Engine(
+                tree,
+                EngineOptions(
+                    contact_model="constraint",
+                    constraint_solver=backend,
+                    substep_fusion=True,
+                    compute_solver_residual=True,
+                    dt=5e-3,
+                    pgs_iters=8,
+                ),
+                motors=robot.motors,
+                controller=PDController(60.0, 2.0),
+            )
+            for backend in ("xla", "pallas_substep")
+        }
+        B = 4
+        mr = ModelRandomization(
+            mass_scale=(0.8, 1.2), com_offset=0.02,
+            inertia_scale=(0.8, 1.2), armature_scale=(0.7, 1.3),
+            motor_gain=(0.9, 1.1), motor_friction_scale=(0.5, 2.0),
+        )
+        mps = jax.vmap(lambda k: mr.sample(k, tree, robot.motors))(
+            jax.random.split(jax.random.PRNGKey(5), B)
+        )
+        # IDENTICAL q0 across the batch: any divergence between envs can
+        # only come from the per-env model parameters. Base dropped so
+        # the feet actually load (stand_q hovers 1 cm above ground).
+        qb = _perturbed_batch(
+            tree, jnp.asarray(stand_q(tree)).at[2].add(-0.012),
+            B=B, scale=0.0,
+        )
+        u = jnp.zeros((B, robot.nmotors))
+        outs = {}
+        for backend, eng in engines.items():
+            states = jax.vmap(lambda q: eng.reset(q=q))(qb)
+            step = jax.jit(
+                jax.vmap(
+                    lambda s, uu, p: eng.step(
+                        s, uu, n_substeps=4, model_params=p
+                    )
+                )
+            )
+            outs[backend] = step(states, u, mps)
+        eng = engines["pallas_substep"]
+        assert list(eng._multi_substep_fns) == [(4, True)]
+        a, b = outs["xla"], outs["pallas_substep"]
+        _assert_close(a, b)
+        # randomization must actually move the physics: identical q0,
+        # different param draws → different loaded-contact response
+        assert float(jnp.max(jnp.abs(b.v[0] - b.v[1]))) > 1e-3
 
     @pytest.mark.slow  # interpret-mode Pallas: minutes on CPU
     def test_anymal_direct_mode_matches_xla(self):
