@@ -119,11 +119,11 @@ def main():
     ap.add_argument("--randomize", type=float, default=None,
                     help="model domain randomization half-range, e.g. "
                     "0.2 → mass/inertia ±20%%, motor gain ±10%%, CoM "
-                    "±2 cm (XLA path — the kernels bake inertials)")
+                    "±2 cm (rides the randomized whole-substep kernel)")
     ap.add_argument("--self-collision", action="store_true",
                     help="cassie: declare L/R thigh/shin/tarsus capsule "
-                    "self-collision pairs in the PGS (whole-substep "
-                    "kernel gates off; chain kernel / XLA path)")
+                    "self-collision pairs in the PGS (resolved "
+                    "in-kernel on the whole-substep fast path)")
     ap.add_argument("--ent-anneal", action="store_true",
                     help="linearly anneal the entropy bonus to 0 over "
                     "training so the MEAN policy sharpens into the "

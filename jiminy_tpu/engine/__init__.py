@@ -15,8 +15,10 @@ from jiminy_tpu.engine.ground import (
 )
 from jiminy_tpu.engine.contact import ContactParams
 from jiminy_tpu.engine.collision import (
+    Box,
     Capsule,
     CollisionPair,
+    ConvexMesh,
     Sphere,
     shape_for_link,
 )
@@ -27,6 +29,8 @@ __all__ = [
     "ModelRandomization",
     "Sphere",
     "Capsule",
+    "Box",
+    "ConvexMesh",
     "CollisionPair",
     "shape_for_link",
     "Engine",

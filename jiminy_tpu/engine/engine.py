@@ -371,6 +371,12 @@ class Engine:
             )
         if self.forces:
             bad.append("registered forces unsupported")
+        if self._pair_set is not None and not self._pair_set.all_segs:
+            bad.append(
+                "box/mesh collision pairs unsupported in-kernel "
+                "(sphere/capsule pairs only) — auto falls back to the "
+                "solve-chain kernel / XLA"
+            )
         if any(
             not isinstance(c, DistanceConstraint) for c in self.constraints
         ):
@@ -663,7 +669,8 @@ class Engine:
             n += len(self._bounded_joints())
         if self.options.contact_model == "constraint":
             n += 3 * self.tree.ncp
-        n += 3 * len(self.collision_pairs)
+        if self._pair_set is not None:
+            n += 3 * self._pair_set.total_contacts
         return n
 
     # -- state management ------------------------------------------------
@@ -1079,9 +1086,12 @@ class Engine:
             targets.append(tgt_p)
             actives.append(act_p)
             mu_parts.append(mu_p)
-            for k in range(self._pair_set.n):
-                contact_colors.append((off + 3 * k, 1))
-            off += 3 * self._pair_set.n
+            # one color per pair, spanning that pair's contact block
+            # (box-box pairs carry up to 16 point contacts — a contact
+            # PATCH resolved vector-parallel within the color)
+            for k_i in self._pair_set.contacts_per_pair:
+                contact_colors.append((off, k_i))
+                off += 3 * k_i
 
         nc = off
         if nc == 0:

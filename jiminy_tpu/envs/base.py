@@ -215,6 +215,13 @@ class BaseEnv:
                 k_sens, q, v, bias_extra=self._sensor_bias(info)
             )
         obs = self._make_obs(sim, k_obs, info)
+        if self.sensors is not None:
+            # pre-auto-reset sensor buffers of the step that produced
+            # this state: observer pipeline layers (e.g. mahony) need
+            # them to transform final_obs consistently — after
+            # auto-reset info["sensor_bufs"] already holds the NEXT
+            # episode's buffers (ADVICE r4: final-obs attitude quat)
+            info["final_sensor_bufs"] = info["sensor_bufs"]
         return EnvState(
             sim=sim,
             obs=obs,
@@ -317,12 +324,17 @@ class BaseEnv:
         # keep the step's own outcome visible to the learner; final_obs is
         # the TERMINAL observation even after the state was auto-reset, so
         # PPO/GAE can bootstrap correctly on truncation
+        info = {**merged.info, "final_obs": nxt.obs}
+        if self.sensors is not None:
+            # matching pre-reset sensor buffers (observer layers read
+            # these when transforming final_obs — see reset)
+            info["final_sensor_bufs"] = nxt.info["sensor_bufs"]
         return merged.replace(
             reward=nxt.reward,
             terminated=nxt.terminated,
             truncated=nxt.truncated,
             rng=rng,
-            info={**merged.info, "final_obs": nxt.obs},
+            info=info,
         )
 
     # ---- convenience ----------------------------------------------------

@@ -110,9 +110,20 @@ class EnvWrapper:
         )
         inner = self.env.step(state.inner, inner_action)
         # wrapped view of the terminal (pre-reset) observation; does not
-        # advance the layer state (its output layer is discarded)
+        # advance the layer state (its output layer is discarded). Layers
+        # that read sensor buffers (mahony) must see the PRE-reset ones —
+        # after auto-reset info["sensor_bufs"] is the next episode's
+        # (ADVICE r4: terminal-bootstrap attitude consistency)
+        inner_final = inner
+        if "final_sensor_bufs" in inner.info:
+            inner_final = inner.replace(
+                info={
+                    **inner.info,
+                    "sensor_bufs": inner.info["final_sensor_bufs"],
+                }
+            )
         _, final_obs = self._transform_obs(
-            layer, inner.info["final_obs"], inner
+            layer, inner.info["final_obs"], inner_final
         )
         # on done, the layer state resets alongside the env; else continue
         fresh = self._init_layer(state.inner.rng, inner)

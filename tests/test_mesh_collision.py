@@ -113,7 +113,9 @@ class TestSupportPoints:
         from jiminy_tpu.engine import shape_for_link
 
         robot = _build(tmp_path)
-        cap = shape_for_link(robot, "cube0")
+        # exact=False pins the fitted-capsule degrade (the round-5
+        # default returns the exact ConvexMesh — see TestMeshPair)
+        cap = shape_for_link(robot, "cube0", exact=False)
         p0, p1 = np.asarray(cap.p0), np.asarray(cap.p1)
         corners = np.array([[sx, sy, sz] for sx in (-0.1, 0.1)
                             for sy in (-0.1, 0.1) for sz in (-0.1, 0.1)])
@@ -161,21 +163,32 @@ class TestMeshGroundContact:
 
 
 class TestMeshPairCollision:
-    def test_mesh_pair_does_not_interpenetrate(self, tmp_path):
+    def test_mesh_pair_rests_tighter_than_bounding_capsule(self, tmp_path):
+        """Round-5 exact path (VERDICT r4 next #7 done-criterion): the
+        default mesh pair (ConvexMesh support points vs the other
+        mesh's SDF proxy) must rest FAR tighter than the old
+        capsule-capsule degrade. For two 0.1-half cubes the support
+        points against the centroid-sphere (r = 0.1√3) rest at center
+        gap exactly 0.2 — the true face height — vs 2r ≈ 0.346 for
+        capsule-capsule."""
         from jiminy_tpu.engine import CollisionPair, shape_for_link
+        from jiminy_tpu.engine.collision import ConvexMesh
 
         robot = _build(tmp_path, n_links=2)
         tree = robot.tree
-        pair = CollisionPair(
-            shape_for_link(robot, "cube0"), shape_for_link(robot, "cube1")
-        )
+        sh0 = shape_for_link(robot, "cube0")
+        sh1 = shape_for_link(robot, "cube1")
+        assert isinstance(sh0, ConvexMesh)  # exact by default now
+        pair = CollisionPair(sh0, sh1)
         opts = EngineOptions(
             contact_model="constraint", dt=1e-3, pgs_iters=16,
             constraint_solver="xla",
         )
         eng = Engine(tree, opts, collision_pairs=[pair])
+        # both clouds tested against the other's capsule → 2 generators
+        assert len(eng._pair_set.gens) == 2
         # cube1 starts 0.5 m above cube0 on a prismatic rail and falls
-        # onto it; the fitted capsules must keep the centers separated
+        # onto it
         q0 = jnp.asarray(tree.neutral_q().at[2].set(0.1))
         st = eng.reset(q=q0, v=jnp.zeros(tree.nv))
 
@@ -187,11 +200,41 @@ class TestMeshPairCollision:
             return jax.lax.scan(body, st, None, length=800)
 
         st, rail = run(st)
-        from jiminy_tpu.engine.collision import shape_for_link as _sfl
+        r = shape_for_link(robot, "cube0", exact=False).radius
+        gap = 0.5 + float(st.q[7])
+        # tighter than the capsule bound, no interpenetration of faces
+        # (near 0.2 = exact face height; the proxy capsule's principal
+        # axis is arbitrary for a cube cloud, so allow ~1 cm slack)
+        assert gap < 2.0 * r - 0.05, (gap, 2 * r)
+        assert 0.19 < gap < 0.23, gap
 
-        r = _sfl(robot, "cube0").radius
-        # rail coordinate: cube1 z-offset from its 0.5 m mount; centers
-        # may not approach closer than the two capsule radii
+    def test_capsule_degrade_still_available(self, tmp_path):
+        """exact=False keeps the old conservative capsule behavior."""
+        from jiminy_tpu.engine import CollisionPair, shape_for_link
+
+        robot = _build(tmp_path, n_links=2)
+        tree = robot.tree
+        pair = CollisionPair(
+            shape_for_link(robot, "cube0", exact=False),
+            shape_for_link(robot, "cube1", exact=False),
+        )
+        opts = EngineOptions(
+            contact_model="constraint", dt=1e-3, pgs_iters=16,
+            constraint_solver="xla",
+        )
+        eng = Engine(tree, opts, collision_pairs=[pair])
+        q0 = jnp.asarray(tree.neutral_q().at[2].set(0.1))
+        st = eng.reset(q=q0, v=jnp.zeros(tree.nv))
+
+        @jax.jit
+        def run(st):
+            def body(s, _):
+                return eng.step(s, jnp.zeros(tree.nv)), s.q[7]
+
+            return jax.lax.scan(body, st, None, length=800)
+
+        st, rail = run(st)
+        r = shape_for_link(robot, "cube0", exact=False).radius
         gap = 0.5 + float(st.q[7])
         assert gap >= 2.0 * r - 5e-3
         assert float(jnp.min(0.5 + rail)) >= 2.0 * r - 5e-3
