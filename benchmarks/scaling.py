@@ -20,6 +20,7 @@ Usage:
 
 from __future__ import annotations
 
+import os
 import pathlib
 import sys
 import time
@@ -27,6 +28,13 @@ import time
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 import jax
+
+# honor JAX_PLATFORMS=cpu via jax.config: TPU plugins (axon) ignore the
+# plain env var, which silently turned the virtual-mesh run into a
+# 1-device TPU run (CLAUDE.md rule 2)
+if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 from jax.sharding import Mesh
 
 

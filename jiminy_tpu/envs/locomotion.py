@@ -71,6 +71,7 @@ class WalkerEnv(BaseEnv):
         reward_fn=None,  # compositions.RewardFn: replaces the built-in reward
         termination_fn=None,  # compositions.TerminationFn: replaces built-in
         model_randomization=None,  # randomization.ModelRandomization
+        nan_guard: bool = True,  # BaseEnv: auto-reset non-finite envs
     ):
         self.robot = robot
         self.ground_sampler = ground_sampler
@@ -154,7 +155,8 @@ class WalkerEnv(BaseEnv):
             raise ValueError(f"unknown observe mode {observe!r}")
         self.observe_mode = observe
         super().__init__(
-            engine, step_dt=step_dt, max_steps=max_steps, sensors=suite
+            engine, step_dt=step_dt, max_steps=max_steps, sensors=suite,
+            nan_guard=nan_guard,
         )
 
     # ---- spawn / reset -----------------------------------------------------

@@ -106,14 +106,30 @@ def solve_reference(cfg: SolveConfig, M, p, v, J, target, mu, active, lam0):
 # --------------------------------------------------------------------------
 # Pallas kernel
 # --------------------------------------------------------------------------
+_MAX_SUBLANES_CANDIDATES = (32, 16, 8, 4, 2, 1)
+try:
+    # experiment knob: >8 packs multiple native (8,128) registers per
+    # lane op (fewer grid steps). Measured on v5e (ANYmal bench,
+    # round 5): S=16 → 6.0M, S=32 → 5.8M vs 6.4M at S=8 — bigger tiles
+    # LOSE (VMEM pressure / pipeline granularity), so the default stays
+    # 8; the knob remains for future hardware.
+    _MAX_SUBLANES = int(os.environ.get("JIMINY_TPU_MAX_SUBLANES", 8))
+except ValueError as e:
+    raise ValueError(
+        "JIMINY_TPU_MAX_SUBLANES must be an integer (a power of two "
+        f"≤ 32), got {os.environ['JIMINY_TPU_MAX_SUBLANES']!r}"
+    ) from e
+
+
 def _pick_sublanes(n: int, nc: int) -> int:
-    """Largest S in {8,4,2,1} whose VMEM working set fits the budget.
+    """Largest S ≤ _MAX_SUBLANES (default 8) whose VMEM working set
+    fits the budget.
 
     Scratch (T, L, X, A) + streamed in/out blocks + the largest transient
     (the rank-1 outer product in the Delassus build), with ~1.5× headroom
     for Mosaic's stack allocator."""
     m = nc + 1
-    for s in (8, 4, 2, 1):
+    for s in (c for c in _MAX_SUBLANES_CANDIDATES if c <= _MAX_SUBLANES):
         lanes = s * LANES * 4  # bytes per (S,128) f32 element-vector
         est = lanes * (
             2 * n * n  # T + L scratch
