@@ -30,7 +30,7 @@ def main() -> None:
     # (python-side) env construction into minutes; constants transfer to
     # the TPU at jit time anyway
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
-        env = ANYmalEnv(step_dt=0.02, sim_dt=5e-3, pgs_iters=8)
+        env = ANYmalEnv(observe="state", step_dt=0.02, sim_dt=5e-3, pgs_iters=8)
     B = 4096
     T = 25
 

@@ -63,8 +63,8 @@ def main():
 
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
-        env = ANYmalEnv(step_dt=0.02, sim_dt=5e-3, pgs_iters=8)
-        env_nl = ANYmalEnv(
+        env = ANYmalEnv(observe="state", step_dt=0.02, sim_dt=5e-3, pgs_iters=8)
+        env_nl = ANYmalEnv(observe="state", 
             step_dt=0.02, sim_dt=5e-3, pgs_iters=8, nan_guard=False
         )
     keys = jax.random.split(jax.random.PRNGKey(0), B)

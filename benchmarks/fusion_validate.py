@@ -159,10 +159,10 @@ def main() -> None:
     with jax.default_device(cpu):
         from jiminy_tpu.envs import ANYmalEnv
 
-        env_fused = ANYmalEnv()
+        env_fused = ANYmalEnv(observe="state")
         # flip fusion through set_options (also exercises the rebuild)
         env_fused.engine.set_options({"substep_fusion": True})
-        envs = {"unfused": ANYmalEnv(), "fused": env_fused}
+        envs = {"unfused": ANYmalEnv(observe="state"), "fused": env_fused}
     T, n_iters = 25, 4
     for name, env in envs.items():
         keys = jax.random.split(jax.random.PRNGKey(0), B)

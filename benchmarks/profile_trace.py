@@ -23,7 +23,7 @@ def main():
     outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/jiminy_tpu_trace"
     from jiminy_tpu.envs import ANYmalEnv
 
-    env = ANYmalEnv()
+    env = ANYmalEnv(observe="state")
     B = 4096
     states = jax.jit(jax.vmap(env.reset))(
         jax.random.split(jax.random.PRNGKey(0), B)

@@ -89,7 +89,7 @@ def main() -> None:
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
         # the exact bench.py config
-        env = ANYmalEnv(step_dt=0.02, sim_dt=5e-3, pgs_iters=8)
+        env = ANYmalEnv(observe="state", step_dt=0.02, sim_dt=5e-3, pgs_iters=8)
     platform = jax.devices()[0].platform
     curve = {}
     for B in (256, 1024, 4096, 8192, 16384):

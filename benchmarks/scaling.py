@@ -69,11 +69,14 @@ def main():
 
     import jiminy_tpu.envs as E
 
+    # privileged obs: this benchmark measures the sharded train-step
+    # program, not the sensor pipeline (whose compile is minutes)
+    kw = {} if env_name == "cartpole" else {"observe": "state"}
     env = {
         "anymal": E.ANYmalEnv,
         "atlas": E.AtlasEnv,
         "cartpole": E.CartPoleEnv,
-    }[env_name]()
+    }[env_name](**kw)
 
     ndev = len(jax.devices())
     platform = jax.devices()[0].platform

@@ -57,10 +57,10 @@ def main() -> None:
         from jiminy_tpu.envs import ANYmalEnv
 
         envs = {
-            "fourier_substep_kernel": ANYmalEnv(terrain="fourier"),
-            "stairs_substep_kernel": ANYmalEnv(terrain="stairs"),
-            "perlin_substep_kernel": ANYmalEnv(terrain="perlin"),
-            "perlin_grid_chain_kernel": ANYmalEnv(terrain="perlin_grid"),
+            "fourier_substep_kernel": ANYmalEnv(observe="state", terrain="fourier"),
+            "stairs_substep_kernel": ANYmalEnv(observe="state", terrain="stairs"),
+            "perlin_substep_kernel": ANYmalEnv(observe="state", terrain="perlin"),
+            "perlin_grid_chain_kernel": ANYmalEnv(observe="state", terrain="perlin_grid"),
         }
     results = {}
     for name, env in envs.items():

@@ -72,11 +72,13 @@ def make_env(name: str, max_steps: int, terrain=None, push=0.0,
         # 3-DoF hip flexibility (spherical joints → solve-chain kernel)
         return E.CassieEnv(
             sim_dt=2e-3, max_steps=max_steps, target_speed=0.4,
-            push_magnitude=push, flexibility=True, **walker_kwargs,
+            push_magnitude=push, flexibility=True, observe=observe,
+            **walker_kwargs,
         )
     if name == "ant":
         return E.AntEnv(
-            max_steps=max_steps, push_magnitude=push, **walker_kwargs
+            max_steps=max_steps, push_magnitude=push, observe=observe,
+            **walker_kwargs
         )
     if name == "spotmicro":
         return E.SpotmicroEnv(
@@ -163,6 +165,16 @@ def main():
     from jiminy_tpu.rl import MetricsLogger, PPOConfig
     from jiminy_tpu.rl.ppo import make_train_fn
 
+    # persistent XLA compile cache: the sensor-path / fused-kernel
+    # compiles are minutes (the round-4 "10× sensor tax" was mostly
+    # first-compile time polluting the cumulative rate); warm re-runs
+    # of the same config skip them entirely
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        str(pathlib.Path.home() / ".cache" / "jiminy_tpu_xla"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
     # env/tree construction is eager numpy/jnp work: keep it off the TPU
     # backend (each eager op is an axon tunnel round trip, ~400 s total)
     cpu = jax.local_devices(backend="cpu")[0]
@@ -209,6 +221,7 @@ def main():
 
     steps_per_iter = cfg.num_envs * cfg.rollout_len
     t0 = time.perf_counter()
+    last_t, last_steps = t0, 0
     with MetricsLogger(out, run_name=f"{args.env}-seed{args.seed}") as lg:
         for i in range(args.iters):
             carry, metrics = step(carry)
@@ -218,12 +231,21 @@ def main():
                 m["env_steps"] = (i + 1) * steps_per_iter
                 lg.log(i, m)
                 if i % 100 == 0:
-                    dt_now = time.perf_counter() - t0
+                    # marginal rate since the last print is the honest
+                    # steady-state number — the cumulative one is
+                    # dominated by first-compile time early on (the
+                    # round-4 "sensor tax" misread)
+                    now = time.perf_counter()
+                    marginal = (m["env_steps"] - last_steps) / max(
+                        now - last_t, 1e-9
+                    )
+                    last_t, last_steps = now, m["env_steps"]
                     print(
                         f"iter {i:5d} reward {m['reward_mean']:7.3f} "
                         f"done% {100 * m['episode_done_frac']:5.2f} "
                         f"kl {m['approx_kl']:.4f} "
-                        f"{m['env_steps'] / dt_now:,.0f} steps/s",
+                        f"{m['env_steps'] / (now - t0):,.0f} steps/s "
+                        f"(marginal {marginal:,.0f})",
                         flush=True,
                     )
             if i and i % 1000 == 0:

@@ -36,7 +36,7 @@ def main():
     from jiminy_tpu.rl import PPOConfig
     from jiminy_tpu.rl.ppo import make_train_fn
 
-    env = ANYmalEnv(max_steps=500)
+    env = ANYmalEnv(observe="state", max_steps=500)
     cfg = PPOConfig(
         num_envs=args.num_envs,
         rollout_len=32,

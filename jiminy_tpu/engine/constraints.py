@@ -131,8 +131,18 @@ class DistanceConstraint(struct.PyTreeNode):
 
     def rows(self, tree, q, v, xw, vel, dt) -> ConstraintRows:
         b1, b2 = tree.frame_body[self.frame1], tree.frame_body[self.frame2]
-        p1 = xw[b1].compose(tree.frame_placement(self.frame1)).pos
-        p2 = xw[b2].compose(tree.frame_placement(self.frame2)).pos
+
+        def fpos(b, f):
+            # world frames (body -1, e.g. a fused URDF root used as a
+            # fixed anchor) are absolute — xw[-1] would silently alias
+            # the LAST body and zero the whole constraint
+            pl = tree.frame_placement(f)
+            if b < 0:
+                return pl.pos.astype(q.dtype)
+            return xw[b].compose(pl).pos
+
+        p1 = fpos(b1, self.frame1)
+        p2 = fpos(b2, self.frame2)
         d_vec = p1 - p2
         d = jnp.linalg.norm(d_vec)
         u = d_vec / jnp.maximum(d, 1e-9)

@@ -50,7 +50,9 @@ class ANYmalEnv(WalkerEnv):
         terrain_amplitude: float = 0.08,
         terrain_wavelength: float = 1.5,
         push_magnitude: float = 0.0,
-        observe: str = "state",  # "state" | "sensors" (IMU + encoders)
+        # sensors (IMU + encoders) is the round-5 default — reference
+        # semantics; "state" opts into the privileged fast path
+        observe: str = "sensors",  # "sensors" | "state"
         sensor_delay: float = 0.0,
         imu_noise: float = 0.0,
         encoder_noise: float = 0.0,

@@ -66,7 +66,12 @@ class WalkerEnv(BaseEnv):
         engine_options: EngineOptions | None = None,
         constraints: tuple = (),
         collision_pairs: tuple = (),  # engine.collision.CollisionPair
-        observe: str = "state",  # "state" (privileged) | "sensors"
+        # observation source. DEFAULT "sensors" since round 5: the
+        # policy sees delayed/biased/noisy IMU + encoder MEASUREMENTS —
+        # the reference's refresh_observation semantics (SURVEY.md
+        # §3.2). "state" opts into the privileged fast path (bench,
+        # teacher policies, tests pinning exact obs layouts).
+        observe: str = "sensors",  # "sensors" | "state" (privileged)
         ground_sampler=None,  # callable key -> FourierGround: per-env terrain
         reward_fn=None,  # compositions.RewardFn: replaces the built-in reward
         termination_fn=None,  # compositions.TerminationFn: replaces built-in

@@ -797,8 +797,17 @@ def _substep_math(spec: SubstepSpec, q, v, tau, lam0, gq,
     target: list = []
     active: list = []
     for b1, p1l, b2, p2l, dist0, freq in spec.dist_constraints:
-        p1 = v_add(m_vec(xw[b1][0], p1l), xw[b1][1])
-        p2 = v_add(m_vec(xw[b2][0], p2l), xw[b2][1])
+        # world-anchored frames (body -1) are absolute constants —
+        # mirrors constraints.DistanceConstraint.rows; point_jac of a
+        # negative body is the zero row by construction
+        p1 = (
+            [lane(x) for x in p1l] if b1 < 0
+            else v_add(m_vec(xw[b1][0], p1l), xw[b1][1])
+        )
+        p2 = (
+            [lane(x) for x in p2l] if b2 < 0
+            else v_add(m_vec(xw[b2][0], p2l), xw[b2][1])
+        )
         d_vec = v_sub(p1, p2)
         d = jnp.sqrt(v_dot(d_vec, d_vec) + 1e-24)
         u_vec = [d_vec[r] / jnp.maximum(d, 1e-9) for r in range(3)]

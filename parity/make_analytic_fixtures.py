@@ -173,7 +173,103 @@ def wheel_roll_no_slip(dt=2e-4, radius=0.2, omega=3.0, t_end=1.0,
     return fix
 
 
+CONICAL_URDF = """<robot name="conical">
+  <link name="anchor">
+    <inertial>
+      <mass value="0.0"/>
+      <inertia ixx="0" iyy="0" izz="0" ixy="0" ixz="0" iyz="0"/>
+    </inertial>
+  </link>
+  <joint name="bob_joint" type="floating">
+    <parent link="anchor"/><child link="bob"/>
+  </joint>
+  <link name="bob">
+    <inertial>
+      <mass value="1.0"/>
+      <inertia ixx="1e-6" iyy="1e-6" izz="1e-6" ixy="0" ixz="0" iyz="0"/>
+    </inertial>
+  </link>
+</robot>
+"""
+
+
+def conical_pendulum_loop(dt=2e-4, L=1.0, theta=0.5, t_end=1.0,
+                          stride=25):
+    """Closed-loop (DistanceConstraint) analytic fixture — the least
+    analytically-covered subsystem (VERDICT r4 next #10). A point bob on
+    a free joint, rod-constrained (equality PGS row) to a WORLD frame:
+    the conical pendulum. At the steady circular solution the closed
+    form holds at ANY amplitude: omega^2 = g / (L cos theta),
+    p(t) = (r cos omega t, r sin omega t, -L cos theta), r = L sin
+    theta; the bob orientation stays identity (the rod force passes
+    through the body origin), so LOCAL velocity == world velocity.
+    Also pins the world-anchored-frame path (frame_body = -1), whose
+    silent xw[-1] aliasing this fixture caught in round 5."""
+    omega = float(np.sqrt(G / (L * np.cos(theta))))
+    r = L * np.sin(theta)
+    n = int(round(t_end / dt))
+    t = np.arange(0, n + 1, stride) * dt
+    ph = omega * t
+    m = len(t)
+    q = np.zeros((m, 7))
+    q[:, 0] = r * np.cos(ph)
+    q[:, 1] = r * np.sin(ph)
+    q[:, 2] = -L * np.cos(theta)
+    q[:, 6] = 1.0
+    v = np.zeros((m, 6))
+    v[:, 0] = -r * omega * np.sin(ph)
+    v[:, 1] = r * omega * np.cos(ph)
+    fix = HERE / "fixtures" / "conical_pendulum_loop"
+    fix.mkdir(parents=True, exist_ok=True)
+    (fix / "robot.urdf").write_text(CONICAL_URDF)
+    # explicit empty hardware: the default-hardware heuristic would put
+    # a contact point on the leaf bob, which hangs BELOW z=0 here
+    (fix / "hardware.toml").write_text(
+        "[Global]\ncontactFrameNames = []\n"
+    )
+    np.savez(fix / "traj.npz", t=t, q=q, v=v)
+    meta = {
+        "name": "conical_pendulum_loop",
+        "source": "analytic-closed-form",
+        # the anchor root fuses into the world; the bob's floating
+        # joint provides the 6 DoF — no extra freeflyer
+        "freeflyer": False,
+        "quat_convention": "xyzw",
+        "engine_options": {
+            "dt": dt,
+            "solver": "euler_symplectic",
+            "contact_model": "constraint",
+            "pgs_iters": 64,
+        },
+        "constraints": [
+            {
+                "type": "distance",
+                "frame1": "anchor",
+                "frame2": "bob_frame",
+                "distance": L,
+                "baumgarte_freq": 20.0,
+            }
+        ],
+        "tolerance_q": 3e-4,
+        "tolerance_v": 1e-3,
+        "duration": t_end,
+        "notes": "conical pendulum vs CONTINUOUS closed form: the "
+        "discrete orbit nutates slightly against the continuous circle "
+        "(the exact circular IC is not exactly on the discrete orbit), "
+        "giving an OSCILLATORY drift that peaks at 1.46e-4 in q near "
+        "t=0.5 s and returns to 1.4e-5 by t=1 s; rod length holds to "
+        "2e-6 throughout (dt=2e-4). A broken equality row misses by "
+        "the full free-fall displacement (~5 m) — four orders larger. "
+        "Also pins the world-anchored frame path (frame_body = -1): "
+        "before the round-5 fix xw[-1] silently aliased the LAST body "
+        "and the constraint no-opped.",
+    }
+    (fix / "meta.json").write_text(json.dumps(meta, indent=2))
+    return fix
+
+
 if __name__ == "__main__":
     a = ball_drop_impact()
     b = wheel_roll_no_slip()
-    print("wrote", a, "and", b)
+    c = conical_pendulum_loop()
+    print("wrote", a, b, "and", c)

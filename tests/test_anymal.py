@@ -39,7 +39,7 @@ class TestANYmalEnv:
     def env(self):
         from jiminy_tpu.envs import ANYmalEnv
 
-        return ANYmalEnv(max_steps=100)
+        return ANYmalEnv(observe="state", max_steps=100)
 
     def test_reset_and_shapes(self, env):
         st = jax.jit(env.reset)(jax.random.PRNGKey(0))

@@ -334,6 +334,7 @@ class TestCapsuleFeetQuadruped:
             max_steps=100,
             reset_noise=0.02,
             min_height=0.4,
+            observe="state",
         )
         st = jax.jit(env.reset)(jax.random.PRNGKey(0))
         step = jax.jit(env.step)

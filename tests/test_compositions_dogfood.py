@@ -18,9 +18,9 @@ from jiminy_tpu.envs import ANYmalEnv, anymal_declarative_mdp, build_pipeline
 
 @pytest.fixture(scope="module")
 def envs():
-    hard = ANYmalEnv(max_steps=60)
+    hard = ANYmalEnv(observe="state", max_steps=60)
     r, t = anymal_declarative_mdp()
-    decl = ANYmalEnv(max_steps=60, reward_fn=r, termination_fn=t)
+    decl = ANYmalEnv(observe="state", max_steps=60, reward_fn=r, termination_fn=t)
     return hard, decl
 
 
@@ -63,7 +63,7 @@ def test_terrain_aware_height_termination():
     """The composed termination reads height above the PER-ENV terrain
     (ctx.ground), not raw q[2] — on rough ground the two differ."""
     r, t = anymal_declarative_mdp()
-    env = ANYmalEnv(
+    env = ANYmalEnv(observe="state", 
         max_steps=60, terrain="fourier", terrain_amplitude=0.3,
         terrain_wavelength=0.8, reward_fn=r, termination_fn=t,
     )

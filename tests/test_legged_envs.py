@@ -12,7 +12,7 @@ class TestCassie:
         from jiminy_tpu.core import algos
         from jiminy_tpu.envs import CassieEnv
 
-        env = CassieEnv(max_steps=100)
+        env = CassieEnv(observe="state", max_steps=100)
         tree = env.tree
         assert env.robot.nmotors == 10
         # passive spring on the shin joints
@@ -39,7 +39,7 @@ class TestCassie:
         """Moving the knee must move the tarsus (loop transmission)."""
         from jiminy_tpu.envs import CassieEnv
 
-        env = CassieEnv(max_steps=100)
+        env = CassieEnv(observe="state", max_steps=100)
         tree = env.tree
         st = jax.jit(env.reset)(jax.random.PRNGKey(0))
         tarsus0 = float(st.sim.q[tree.q_off[tree.joint_index("L_tarsus")]])
@@ -57,13 +57,13 @@ class TestCassie:
 
 class TestCassieSelfCollision:
     def test_self_collision_pairs_active_and_finite(self):
-        """CassieEnv(self_collision=True) declares the L/R thigh/shin/
+        """CassieEnv(observe="state", self_collision=True) declares the L/R thigh/shin/
         tarsus capsule pairs (reference: hpp-fcl self-collision pairs,
         SURVEY.md §2.1 "Model"), gates the whole-substep kernel off,
         and still steps finitely."""
         from jiminy_tpu.envs import CassieEnv
 
-        env = CassieEnv(sim_dt=2e-3, self_collision=True)
+        env = CassieEnv(observe="state", sim_dt=2e-3, self_collision=True)
         assert env.engine._pair_set is not None
         assert env.engine._pair_set.n == 3
         assert env.engine._substep_fn is None  # kernel fallback rule
@@ -78,7 +78,7 @@ class TestAnt:
     def test_stands_and_steps(self):
         from jiminy_tpu.envs import AntEnv
 
-        env = AntEnv(max_steps=100)
+        env = AntEnv(observe="state", max_steps=100)
         assert env.robot.nmotors == 8
         st = jax.jit(env.reset)(jax.random.PRNGKey(0))
         step = jax.jit(env.step)
@@ -94,7 +94,7 @@ class TestSpotmicro:
     def test_stands(self):
         from jiminy_tpu.envs import SpotmicroEnv
 
-        env = SpotmicroEnv(max_steps=100)
+        env = SpotmicroEnv(observe="state", max_steps=100)
         assert env.robot.nmotors == 12
         assert float(jnp.sum(env.tree.inertia_mass)) < 3.0  # small robot
         st = jax.jit(env.reset)(jax.random.PRNGKey(0))

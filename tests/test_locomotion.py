@@ -12,7 +12,7 @@ def perlin_env():
     """Analytic per-env hash-Perlin terrain (terrain='perlin')."""
     from jiminy_tpu.envs import ANYmalEnv
 
-    return ANYmalEnv(
+    return ANYmalEnv(observe="state", 
         terrain="perlin", push_magnitude=60.0, push_prob=0.5, max_steps=50
     )
 
@@ -23,7 +23,7 @@ class TestTerrainSpawn:
         the map, base height leveled to the local terrain."""
         from jiminy_tpu.envs import ANYmalEnv
 
-        env = ANYmalEnv(terrain="perlin_grid", max_steps=50)
+        env = ANYmalEnv(observe="state", terrain="perlin_grid", max_steps=50)
         B = 8
         states = jax.jit(jax.vmap(env.reset))(
             jax.random.split(jax.random.PRNGKey(0), B)
@@ -87,7 +87,7 @@ class TestPushes:
         from jiminy_tpu.envs import ANYmalEnv
 
         # deterministic check through the external-force hook directly
-        env = ANYmalEnv(push_magnitude=200.0, push_prob=0.0)
+        env = ANYmalEnv(observe="state", push_magnitude=200.0, push_prob=0.0)
         st = jax.jit(env.reset)(jax.random.PRNGKey(0))
         st = st.replace(
             info={
@@ -104,7 +104,7 @@ class TestPushes:
     def test_no_push_config_is_clean(self):
         from jiminy_tpu.envs import ANYmalEnv
 
-        env = ANYmalEnv()
+        env = ANYmalEnv(observe="state")
         st = jax.jit(env.reset)(jax.random.PRNGKey(0))
         assert "push_force" not in st.info
         assert env._base_wrench(st) is None

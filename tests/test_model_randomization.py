@@ -135,12 +135,12 @@ class TestWalkerRandomization:
         trajectories depend on them."""
         from jiminy_tpu.envs.anymal import ANYmalEnv
 
-        env_r = ANYmalEnv(
+        env_r = ANYmalEnv(observe="state", 
             model_randomization=ModelRandomization(
                 mass_scale=(0.5, 0.5),  # degenerate range → deterministic
             )
         )
-        env_n = ANYmalEnv()
+        env_n = ANYmalEnv(observe="state")
         key = jax.random.PRNGKey(0)
         st_r = jax.jit(env_r.reset)(key)
         st_n = jax.jit(env_n.reset)(key)

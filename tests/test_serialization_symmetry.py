@@ -115,7 +115,7 @@ class TestPPOExtras:
         from jiminy_tpu.rl import PPOConfig
         from jiminy_tpu.rl.ppo import make_train_fn
 
-        env = ANYmalEnv(max_steps=50)
+        env = ANYmalEnv(observe="state", max_steps=50)
         cfg = PPOConfig(
             num_envs=8, rollout_len=2, minibatches=1, epochs=1,
             hidden=(32, 32), symmetry_coef=0.5,
@@ -132,7 +132,7 @@ class TestANYmalSymmetry:
     def test_involution(self):
         from jiminy_tpu.envs import ANYmalEnv
 
-        env = ANYmalEnv()
+        env = ANYmalEnv(observe="state")
         rng = np.random.RandomState(0)
         obs = jnp.asarray(rng.randn(4, 33).astype(np.float32))
         act = jnp.asarray(rng.randn(4, 12).astype(np.float32))
@@ -146,7 +146,7 @@ class TestANYmalSymmetry:
         mirror spec against the actual physics."""
         from jiminy_tpu.envs import ANYmalEnv
 
-        env = ANYmalEnv()
+        env = ANYmalEnv(observe="state")
         st = jax.jit(env.reset)(jax.random.PRNGKey(0))
         a = 0.3 * jnp.asarray(
             np.random.RandomState(2).randn(12).astype(np.float32)

@@ -358,6 +358,71 @@ class TestSubstepKernel:
         # measured ~0.1 rad/s spread at 2 substeps)
         assert float(jnp.max(jnp.abs(b.v[0] - b.v[1]))) > 1e-3
 
+    def test_world_anchored_distance_matches_xla(self):
+        """DistanceConstraint to a WORLD frame (frame_body = -1, e.g. a
+        fused URDF root used as a fixed anchor): both backends must
+        apply it — before the round-5 fix xw[-1] silently aliased the
+        LAST body and the rod no-opped (caught by the conical-pendulum
+        parity fixture)."""
+        import numpy as np
+
+        from jiminy_tpu.engine.constraints import DistanceConstraint
+        from jiminy_tpu.io.urdf import parse_urdf
+
+        urdf = """<robot name="conical">
+          <link name="anchor"><inertial><mass value="0.0"/>
+            <inertia ixx="0" iyy="0" izz="0" ixy="0" ixz="0" iyz="0"/>
+          </inertial></link>
+          <joint name="bob_joint" type="floating">
+            <parent link="anchor"/><child link="bob"/></joint>
+          <link name="bob"><inertial><mass value="1.0"/>
+            <inertia ixx="1e-4" iyy="1e-4" izz="1e-4" ixy="0" ixz="0"
+             iyz="0"/></inertial></link>
+        </robot>"""
+        b, _ = parse_urdf(urdf, freeflyer=False)
+        tree = b.build()
+        cst = DistanceConstraint(
+            frame1=tree.frame_name.index("anchor"),
+            frame2=tree.frame_name.index("bob_frame"),
+            distance=jnp.float32(1.0),
+            baumgarte_freq=jnp.float32(20.0),
+        )
+        engines = {
+            backend: Engine(
+                tree,
+                EngineOptions(
+                    dt=1e-3, contact_model="constraint", pgs_iters=32,
+                    constraint_solver=backend,
+                    compute_solver_residual=True,
+                ),
+                constraints=(cst,),
+            )
+            for backend in ("xla", "pallas_substep")
+        }
+        q0 = tree.neutral_q().at[0].set(0.6).at[2].set(-0.8)
+        outs = {}
+        for backend, eng in engines.items():
+            B = 3
+            states = jax.vmap(lambda q: eng.reset(q=q))(
+                jnp.tile(q0, (B, 1))
+            )
+            step = jax.jit(
+                jax.vmap(
+                    lambda s: eng.step(
+                        s, jnp.zeros(tree.nv), n_substeps=10
+                    )
+                )
+            )
+            outs[backend] = step(states)
+        a, b2 = outs["xla"], outs["pallas_substep"]
+        np.testing.assert_allclose(b2.q, a.q, atol=1e-5, rtol=1e-4)
+        np.testing.assert_allclose(b2.v, a.v, atol=1e-3, rtol=1e-3)
+        # the rod actually held: after 10 ms of gravity the bob is NOT
+        # in free fall (|p| stays ~1) and the swing has started
+        r = jnp.sqrt(jnp.sum(a.q[0, :3] ** 2))
+        assert abs(float(r) - 1.0) < 1e-3, float(r)
+        assert float(jnp.max(jnp.abs(a.lam))) > 1e-4
+
     def test_gating_rejects_unsupported(self):
         """Configs outside the kernel's scope fail loudly at build."""
         import pytest
