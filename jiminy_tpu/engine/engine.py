@@ -309,6 +309,9 @@ class Engine:
         self._substep_fn_rand = None
         self._substep_spec_rand = None
         self._rand_checked = False
+        # in-kernel sensor variants (per suite/schedule, lazy)
+        self._sensor_specs = {}
+        self._sensor_multi_fns = {}
         if self._solver_backend == "pallas_substep":
             # explicit request: unsupported configs fail loudly
             self._substep_fn = self._build_substep_kernel()
@@ -657,6 +660,153 @@ class Engine:
 
         self._multi_substep_fns[key] = multi
         return multi
+
+    # -- in-kernel sensor path --------------------------------------------
+    def sensor_fusion_ready(self, suite, n_substeps: int,
+                            k_obs: int) -> bool:
+        """Can ``step_with_sensors`` serve this suite at this schedule?
+        Static — envs check once at build. Requires the fused multi
+        kernel (substep_fusion + declarative torque), supported sensor
+        types, and k_obs | n_substeps."""
+        if not (
+            self.options.substep_fusion
+            and self._use_impulse
+            and self._substep_fn is not None
+            and self._substep_spec.torque is not None
+            and n_substeps % k_obs == 0
+        ):
+            return False
+        try:
+            self._get_sensor_spec(suite, k_obs, randomized=False)
+        except ValueError:
+            return False
+        return True
+
+    def _get_sensor_spec(self, suite, k_obs: int, randomized: bool):
+        """Shallow SubstepSpec copy with the in-kernel sensor stage
+        attached (SensorKernelSpec) — a distinct identity, so it keys
+        its own kernel traces."""
+        import copy
+
+        from jiminy_tpu.ops.substep_kernel import SensorKernelSpec
+
+        key = (id(suite), int(k_obs), bool(randomized))
+        hit = self._sensor_specs.get(key)
+        if hit is not None:
+            return hit
+        if randomized and self._get_rand_substep_fn() is None:
+            raise ValueError("no randomized kernel in scope")
+        base = (
+            self._substep_spec_rand if randomized else self._substep_spec
+        )
+        spec = copy.copy(base)
+        spec.sensors = SensorKernelSpec(self.tree, suite, k_obs)
+        self._sensor_specs[key] = spec
+        return spec
+
+    def _get_sensor_multi_fn(self, n_sub: int, suite, k_obs: int,
+                             randomized: bool):
+        from jiminy_tpu.ops.substep_kernel import (
+            substep_batched_pallas_multi,
+        )
+
+        key = (n_sub, id(suite), int(k_obs), bool(randomized))
+        fn = self._sensor_multi_fns.get(key)
+        if fn is not None:
+            return fn
+        spec = self._get_sensor_spec(suite, k_obs, randomized)
+
+        def make(has_gc, has_mp):
+            if has_gc and has_mp:
+                return lambda q, v, c, l, gc, w0, mp, bf, ep: (
+                    substep_batched_pallas_multi(
+                        spec, n_sub, q, v, c, l, gc, w0, mp=mp,
+                        bufs=bf, eps=ep,
+                    )
+                )
+            if has_gc:
+                return lambda q, v, c, l, gc, w0, bf, ep: (
+                    substep_batched_pallas_multi(
+                        spec, n_sub, q, v, c, l, gc, w0, bufs=bf, eps=ep,
+                    )
+                )
+            if has_mp:
+                return lambda q, v, c, l, w0, mp, bf, ep: (
+                    substep_batched_pallas_multi(
+                        spec, n_sub, q, v, c, l, wrench=w0, mp=mp,
+                        bufs=bf, eps=ep,
+                    )
+                )
+            return lambda q, v, c, l, w0, bf, ep: (
+                substep_batched_pallas_multi(
+                    spec, n_sub, q, v, c, l, wrench=w0, bufs=bf, eps=ep,
+                )
+            )
+
+        fn = _kernel_custom_vmap(
+            make(spec.n_gc > 0, randomized), 8
+        )
+        self._sensor_multi_fns[key] = fn
+        return fn
+
+    def step_with_sensors(
+        self,
+        state: SimState,
+        u: jax.Array,
+        n_substeps: int,
+        suite,
+        bufs_flat: jax.Array,
+        eps_flat: jax.Array,
+        k_obs: int = 1,
+        ground=None,
+        base_wrench: jax.Array | None = None,
+        model_params=None,
+    ) -> tuple[SimState, jax.Array]:
+        """Fused step WITH the in-kernel sensor stage: all n_substeps
+        plus a measure→corrupt→ring-push every ``k_obs`` substeps run
+        in ONE kernel launch (the reference's sensor refresh inside the
+        stepper loop — SURVEY.md §3.1 — without leaving VMEM).
+        ``bufs_flat`` (n_buf,) is the flattened suite ring-buffer state;
+        ``eps_flat`` ((n_substeps//k_obs)·n_eps,) the PRE-SAMPLED
+        corruption (bias + noise), layout per SensorKernelSpec. Callers
+        gate availability with :meth:`sensor_fusion_ready`; per-call
+        blockers (fext, contact overrides, foreign grounds) are on the
+        caller. Returns (SimState, new bufs_flat)."""
+        ground = ground if ground is not None else self.ground
+        if not self._kernel_ground_ok(ground):
+            raise ValueError("ground outside the fused kernel's scope")
+        randomized = model_params is not None
+        fn = self._get_sensor_multi_fn(
+            n_substeps, suite, k_obs, randomized
+        )
+        w0 = (
+            base_wrench
+            if base_wrench is not None
+            else jnp.zeros(6, dtype=state.q.dtype)
+        )
+        args = [state.q, state.v, u, state.lam]
+        if self._substep_gmode != "flat":
+            args.append(self._ground_coef(ground))
+        args.append(w0)
+        if randomized:
+            args.append(self._pack_model_params(model_params))
+        args += [bufs_flat, eps_flat]
+        q, v, lam, res, fc, a, tau, bufs_out = fn(*args)
+        dt = self.options.dt
+        dt_ = state.q.dtype
+        return (
+            SimState(
+                t=state.t + n_substeps * dt,
+                q=q.astype(dt_),
+                v=v.astype(dt_),
+                contact_forces=(fc / dt).astype(dt_),
+                solver_residual=res.astype(dt_),
+                lam=lam.astype(dt_),
+                a=a.astype(dt_),
+                tau=tau.astype(dt_),
+            ),
+            bufs_out.astype(dt_),
+        )
 
     @property
     def n_constraint_rows(self) -> int:

@@ -57,6 +57,13 @@ class WrapperState(struct.PyTreeNode):
     def sim(self):
         return self.inner.sim
 
+    @property
+    def rng(self):
+        # recurses through nested wrappers down to EnvState.rng —
+        # without it, stacking two layers (e.g. mahony + stack) broke
+        # at the auto-reset layer re-init (round-5 Cassie run)
+        return self.inner.rng
+
 
 class EnvWrapper:
     """Identity wrapper; subclasses override hooks. Presents the BaseEnv

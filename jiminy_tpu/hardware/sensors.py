@@ -324,3 +324,35 @@ class SensorSuite:
             if g.type == typ:
                 return g.name
         return ()
+
+    # -- in-kernel sensor-stage plumbing (ops/substep_kernel.py) ----------
+    def flatten_buffers(self, bufs: tuple) -> jax.Array:
+        """Ring buffers → one flat (n_buf,) vector in the kernel's
+        [group][sensor][slot][dim] lane order."""
+        return jnp.concatenate([b.reshape(-1) for b in bufs])
+
+    def unflatten_buffers(self, flat: jax.Array) -> tuple:
+        out, o = [], 0
+        for g in self.groups:
+            d = SENSOR_DIMS[g.type]
+            n = g.ns * g.buf_len * d
+            out.append(flat[o:o + n].reshape(g.ns, g.buf_len, d))
+            o += n
+        return tuple(out)
+
+    def sample_eps(self, key, bias_extra=None) -> jax.Array:
+        """ONE update's corruption lanes, flattened (n_eps,) — exactly
+        ``_corrupt``'s realization (same per-group key-split order), so
+        the in-kernel sensor stage reproduces the XLA path's noise
+        bit-for-bit given the same chunk key."""
+        parts = []
+        for gi, g in enumerate(self.groups):
+            key, k = jax.random.split(key)
+            be = bias_extra[gi] if bias_extra is not None else 0.0
+            parts.append(
+                (
+                    g.bias + be
+                    + g.noise_std * jax.random.normal(k, g.noise_std.shape)
+                ).reshape(-1)
+            )
+        return jnp.concatenate(parts)

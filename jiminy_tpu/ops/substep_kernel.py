@@ -293,6 +293,11 @@ class SubstepSpec:
         # kills the XLA-fallback tax on domain-randomized training
         # (reference: model randomization hooks, SURVEY.md §2.1 "Model")
         self.randomized = bool(randomized)
+        # in-kernel sensor stage (SensorKernelSpec | None): the fused
+        # multi-substep kernel measures + corrupts + ring-pushes the
+        # sensor delay lines every sensors.k_obs substeps, VMEM-resident
+        # — set via Engine on a shallow spec copy, never at build here
+        self.sensors = None
 
     @property
     def n_mp(self) -> int:
@@ -486,6 +491,86 @@ def _seg_seg_lane(p1, q1, p2, q2, eps=1e-9):
 # ---------------------------------------------------------------------------
 
 
+def _lane_joint_motion(spec: SubstepSpec, i: int, vec, zero):
+    """S_i @ vec_slice(i) as (w, v) lane lists (``vec`` a list of nv
+    lanes — velocities or accelerations)."""
+    JT = JointType
+    t = spec.joint_type[i]
+    vo = spec.v_off[i]
+
+    def lane(x):
+        return _lane(x, zero)
+
+    if t == JT.FREE:
+        return (
+            [vec[vo + 3], vec[vo + 4], vec[vo + 5]],
+            [vec[vo], vec[vo + 1], vec[vo + 2]],
+        )
+    ax = [float(a) for a in spec.axis[i]]
+    if t == JT.REVOLUTE:
+        return [lane(a) * vec[vo] if a else zero for a in ax], [zero] * 3
+    return [zero] * 3, [lane(a) * vec[vo] if a else zero for a in ax]
+
+
+def _lane_fk(spec: SubstepSpec, q, v, zero):
+    """Forward kinematics on lane values (mirrors algos.kinematics):
+    returns (xl, xw, vel) — local transforms, world poses (R, p) and
+    local spatial velocities (w, v) per body. Shared by the substep
+    math and the in-kernel sensor stage."""
+    JT = JointType
+    nb = spec.nb
+
+    def lane(x):
+        return _lane(x, zero)
+
+    xl = []  # list of (R, p)
+    for i in range(nb):
+        t = spec.joint_type[i]
+        off = spec.q_off[i]
+        if t == JT.FREE:
+            Rj = quat_to_m([q[off + 3], q[off + 4], q[off + 5], q[off + 6]])
+            pj = [q[off], q[off + 1], q[off + 2]]
+        elif t == JT.REVOLUTE:
+            # Rodrigues about constant axis (algos._axis_angle_matrix)
+            ax = [float(a) for a in spec.axis[i]]
+            c, s = jnp.cos(q[off]), jnp.sin(q[off])
+            K = m_hat(ax)
+            KK = m_mul(K, K)
+            Rj = [
+                [
+                    (1.0 if r == c2 else 0.0) + s * K[r][c2]
+                    + (1.0 - c) * KK[r][c2]
+                    for c2 in range(3)
+                ]
+                for r in range(3)
+            ]
+            pj = [zero, zero, zero]
+        elif t == JT.PRISMATIC:
+            ax = [float(a) for a in spec.axis[i]]
+            Rj = m_id()
+            pj = [lane(a) * q[off] if a else zero for a in ax]
+        else:
+            raise ValueError("substep kernel: unsupported joint type")
+        Rp = [[float(spec.jp_rot[i][r][c2]) for c2 in range(3)]
+              for r in range(3)]
+        pp = [float(spec.jp_pos[i][k]) for k in range(3)]
+        xl.append(x_compose(Rp, pp, Rj, pj))
+
+    xw = []  # world (R, p)
+    vel = []  # local spatial (w, v)
+    for i in range(nb):
+        p = spec.parent[i]
+        wj, vj = _lane_joint_motion(spec, i, v, zero)
+        if p < 0:
+            xw.append(xl[i])
+            vel.append((wj, vj))
+        else:
+            xw.append(x_compose(*xw[p], *xl[i]))
+            wp, vp = motion_p2c(*xl[i], *vel[p])
+            vel.append((v_add(wp, wj), v_add(vp, vj)))
+    return xl, xw, vel
+
+
 def _substep_math(spec: SubstepSpec, q, v, tau, lam0, gq,
                   T_ref, L_ref, X_ref, A_ref, w0=None, mp=None):
     """One substep on lane-major VALUES: q (nq) / v, tau (nv) lists of
@@ -529,65 +614,11 @@ def _substep_math(spec: SubstepSpec, q, v, tau, lam0, gq,
     else:
         inert, arm = mp
 
-    # ---- local transforms X_λi = joint_placement ∘ X_J(q_i) -------------
-    xl = []  # list of (R, p)
-    for i in range(nb):
-        t = spec.joint_type[i]
-        off = spec.q_off[i]
-        if t == JT.FREE:
-            Rj = quat_to_m([q[off + 3], q[off + 4], q[off + 5], q[off + 6]])
-            pj = [q[off], q[off + 1], q[off + 2]]
-        elif t == JT.REVOLUTE:
-            # Rodrigues about constant axis (algos._axis_angle_matrix)
-            ax = [float(a) for a in spec.axis[i]]
-            c, s = jnp.cos(q[off]), jnp.sin(q[off])
-            K = m_hat(ax)
-            KK = m_mul(K, K)
-            Rj = [
-                [
-                    (1.0 if r == c2 else 0.0) + s * K[r][c2]
-                    + (1.0 - c) * KK[r][c2]
-                    for c2 in range(3)
-                ]
-                for r in range(3)
-            ]
-            pj = [zero, zero, zero]
-        elif t == JT.PRISMATIC:
-            ax = [float(a) for a in spec.axis[i]]
-            Rj = m_id()
-            pj = [lane(a) * q[off] if a else zero for a in ax]
-        else:
-            raise ValueError("substep kernel: unsupported joint type")
-        Rp = [[float(spec.jp_rot[i][r][c2]) for c2 in range(3)]
-              for r in range(3)]
-        pp = [float(spec.jp_pos[i][k]) for k in range(3)]
-        xl.append(x_compose(Rp, pp, Rj, pj))
+    # ---- FK: local transforms + world poses + local velocities ----------
+    xl, xw, vel = _lane_fk(spec, q, v, zero)
 
-    # ---- forward kinematics + velocities (algos.kinematics) -------------
-    def joint_motion(i):
-        """S_i @ v_slice(i) as (w, v) lists."""
-        t = spec.joint_type[i]
-        vo = spec.v_off[i]
-        if t == JT.FREE:
-            return [v[vo + 3], v[vo + 4], v[vo + 5]], [v[vo], v[vo + 1],
-                                                       v[vo + 2]]
-        ax = [float(a) for a in spec.axis[i]]
-        if t == JT.REVOLUTE:
-            return [lane(a) * v[vo] if a else zero for a in ax], [zero] * 3
-        return [zero] * 3, [lane(a) * v[vo] if a else zero for a in ax]
-
-    xw = []  # world (R, p)
-    vel = []  # local spatial (w, v)
-    for i in range(nb):
-        p = spec.parent[i]
-        wj, vj = joint_motion(i)
-        if p < 0:
-            xw.append(xl[i])
-            vel.append((wj, vj))
-        else:
-            xw.append(x_compose(*xw[p], *xl[i]))
-            wp, vp = motion_p2c(*xl[i], *vel[p])
-            vel.append((v_add(wp, wj), v_add(vp, vj)))
+    def joint_motion(i, vec=v):
+        return _lane_joint_motion(spec, i, vec, zero)
 
     # ---- RNEA bias: rnea(q, v, 0) (algos.rnea with a=0, no fext) --------
     g = [float(-x) for x in spec.gravity]  # a0 linear part = −gravity
@@ -1135,6 +1166,207 @@ def _ground_query(spec: SubstepSpec, gc_ref):
     return gq
 
 
+# ---------------------------------------------------------------------------
+# In-kernel sensor stage (reference: sensor refresh at its own period
+# inside the stepper loop, SURVEY.md §2.1 "Engine"/"Sensors"; §2.7 item 4:
+# delay ring buffers updated IN-KERNEL)
+# ---------------------------------------------------------------------------
+
+
+class SensorKernelSpec:
+    """Static lane description of a hardware.SensorSuite so the fused
+    multi-substep kernel can measure + corrupt + ring-push every
+    ``k_obs`` substeps without leaving VMEM. Supported types: imu,
+    encoder, effort, contact (force gates the fused path off). Noise is
+    PRE-SAMPLED outside (eps = bias [+ bias_extra] + noise_std·normal,
+    exactly SensorSuite._corrupt's realization) and streamed in as one
+    traced input, so the kernel stays RNG-free."""
+
+    def __init__(self, tree, suite, k_obs: int):
+        from jiminy_tpu.hardware.sensors import NOISE_DIMS, SENSOR_DIMS
+
+        self.k_obs = int(k_obs)
+        self.groups = []
+        for g in suite.groups:
+            if g.type not in ("imu", "encoder", "effort", "contact"):
+                raise ValueError(
+                    f"sensor type {g.type!r} unsupported in-kernel"
+                )
+            entry = {
+                "type": g.type,
+                "ns": g.ns,
+                "buf_len": int(g.buf_len),
+                "dim": SENSOR_DIMS[g.type],
+                "ndim": NOISE_DIMS[g.type],
+            }
+            if g.type == "imu":
+                tg = []
+                for f in g.target:
+                    b = int(tree.frame_body[f])
+                    if b < 0:
+                        raise ValueError("imu on a world frame")
+                    Rfp = [[float(tree.fp_rot[f][r][c]) for c in range(3)]
+                           for r in range(3)]
+                    pfp = [float(x) for x in np.asarray(tree.fp_pos[f])]
+                    tg.append((b, Rfp, pfp))
+                entry["targets"] = tg
+            elif g.type in ("encoder", "effort"):
+                entry["targets"] = [
+                    (int(tree.q_off[j]), int(tree.v_off[j]))
+                    for j in g.target
+                ]
+            else:  # contact
+                entry["targets"] = [
+                    (int(k), int(tree.contact_body[k])) for k in g.target
+                ]
+            self.groups.append(entry)
+        self.n_buf = sum(
+            g["ns"] * g["buf_len"] * g["dim"] for g in self.groups
+        )
+        self.n_eps = sum(g["ns"] * g["ndim"] for g in self.groups)
+
+
+def _quat_from_m_lane(R):
+    """matrix_to_quat (so3.py 4-candidate construction) on lane mat3 —
+    elementwise selection replaces argmax. Returns [x, y, z, w]."""
+    m00, m01, m02 = R[0]
+    m10, m11, m12 = R[1]
+    m20, m21, m22 = R[2]
+    tr = m00 + m11 + m22
+    cands = [
+        # dominant x
+        ([1.0 + m00 - m11 - m22, m01 + m10, m02 + m20, m21 - m12], m00),
+        # dominant y
+        ([m01 + m10, 1.0 - m00 + m11 - m22, m12 + m21, m02 - m20], m11),
+        # dominant z
+        ([m02 + m20, m12 + m21, 1.0 - m00 - m11 + m22, m10 - m01], m22),
+        # dominant w
+        ([m21 - m12, m02 - m20, m10 - m01, 1.0 + tr], tr),
+    ]
+    best, bs = cands[0]
+    for cand, s in cands[1:]:
+        take = s > bs
+        best = [jnp.where(take, cand[k], best[k]) for k in range(4)]
+        bs = jnp.maximum(bs, s)
+    n = jax.lax.rsqrt(sum(c * c for c in best) + 1e-24)
+    best = [c * n for c in best]
+    sgn = jnp.where(best[3] >= 0.0, 1.0, -1.0)
+    return [c * sgn for c in best]
+
+
+def _quat_exp_lane(rv):
+    """so3.quat_exp on a lane rotation vector → [x, y, z, w]."""
+    a2 = rv[0] * rv[0] + rv[1] * rv[1] + rv[2] * rv[2]
+    ang = jnp.sqrt(a2 + 1e-24)
+    half = 0.5 * ang
+    s = jnp.sin(half) / ang
+    return [rv[0] * s, rv[1] * s, rv[2] * s, jnp.cos(half)]
+
+
+def _quat_mul_lane(a, b):
+    """Hamilton product a ⊗ b, xyzw lanes (so3.quat_mul)."""
+    ax, ay, az, aw = a
+    bx, by, bz, bw = b
+    return [
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+        aw * bw - ax * bx - ay * by - az * bz,
+    ]
+
+
+def _sensor_stage(spec: SubstepSpec, q, v, a, fc, tau, eps, bufs,
+                  commit, zero):
+    """One in-kernel sensor update at the ACCEPTED state (q, v, a, the
+    substep's contact forces fc = impulses/dt as nv/3·ncp lane lists,
+    applied torque tau): measure (SensorSuite._measure_group), corrupt
+    with the pre-sampled ``eps`` lanes (_corrupt), and ring-push into
+    ``bufs`` (a flat lane list, [group][sensor][slot][dim] order).
+    ``commit`` is None (always push — k_obs == 1) or a lane mask for
+    conditional pushes. Returns the new flat buffer lane list."""
+    sspec = spec.sensors
+    xl, xw, vel = _lane_fk(spec, q, v, zero)
+
+    # body proper accelerations (algos.body_accelerations): forward
+    # propagation with a0 = [0; −gravity]
+    g = [float(-x) for x in spec.gravity]
+    acc = []
+    for i in range(spec.nb):
+        p = spec.parent[i]
+        wj_a, vj_a = _lane_joint_motion(spec, i, a, zero)
+        wj_v, vj_v = _lane_joint_motion(spec, i, v, zero)
+        if p < 0:
+            aw, av = motion_p2c(*xl[i], [0.0, 0.0, 0.0], g)
+        else:
+            aw, av = motion_p2c(*xl[i], *acc[p])
+        aw = v_add(aw, wj_a)
+        av = v_add(av, vj_a)
+        if p >= 0:
+            cw, cv = motion_cross6(*vel[i], wj_v, vj_v)
+            aw, av = v_add(aw, cw), v_add(av, cv)
+        acc.append(
+            ([_lane(x, zero) for x in aw], [_lane(x, zero) for x in av])
+        )
+
+    out = list(bufs)
+    boff = 0
+    eoff = 0
+    for gr in sspec.groups:
+        ns, buf_len, dim, ndim = (
+            gr["ns"], gr["buf_len"], gr["dim"], gr["ndim"]
+        )
+        for s in range(ns):
+            e = eps[eoff + s * ndim: eoff + (s + 1) * ndim]
+            if gr["type"] == "imu":
+                b, Rfp, pfp = gr["targets"][s]
+                Rw = m_mul(xw[b][0], Rfp)
+                quat = _quat_from_m_lane(Rw)
+                w_b, v_b = vel[b]
+                al_b, aa_b = acc[b]
+                # classical proper acceleration of the frame origin
+                a_pt = v_add(
+                    v_add(aa_b, v_cross(w_b, v_b)),
+                    v_add(
+                        v_cross(al_b, pfp),
+                        v_cross(w_b, v_cross(w_b, pfp)),
+                    ),
+                )
+                gyro = m_tvec(Rfp, w_b)
+                accel = m_tvec(Rfp, a_pt)
+                quat = _quat_mul_lane(quat, _quat_exp_lane(e[0:3]))
+                row = (
+                    quat
+                    + [gyro[k] + e[3 + k] for k in range(3)]
+                    + [accel[k] + e[6 + k] for k in range(3)]
+                )
+            elif gr["type"] == "encoder":
+                qo, vo = gr["targets"][s]
+                row = [q[qo] + e[0], v[vo] + e[1]]
+            elif gr["type"] == "effort":
+                _, vo = gr["targets"][s]
+                row = [tau[vo] + e[0]]
+            else:  # contact: world force → carrier-body frame
+                k, b = gr["targets"][s]
+                fw = [fc[3 * k], fc[3 * k + 1], fc[3 * k + 2]]
+                fb = m_tvec(xw[b][0], fw)
+                row = [fb[r] + e[r] for r in range(3)]
+            # ring push: new sample at slot 0, previous slots shift
+            base = boff + s * buf_len * dim
+            pushed = row + bufs[base: base + (buf_len - 1) * dim]
+            if commit is None:
+                out[base: base + buf_len * dim] = pushed
+            else:
+                out[base: base + buf_len * dim] = [
+                    jnp.where(commit, nv_, ov_)
+                    for nv_, ov_ in zip(
+                        pushed, bufs[base: base + buf_len * dim]
+                    )
+                ]
+        boff += ns * buf_len * dim
+        eoff += ns * ndim
+    return out
+
+
 def _substep_body(spec: SubstepSpec, refs):
     """Single-substep kernel body: refs → _substep_math → refs."""
     refs = list(refs)
@@ -1312,16 +1544,27 @@ def _substep_multi_body(spec: SubstepSpec, n_sub: int, refs):
         inert, arm, gain, fric = _unpack_mp(spec, refs.pop(0))
         mp = (inert, arm)
         mscale = (gain, fric)
-    (qn_ref, vn_ref, lam_ref, res_ref, fc_ref, a_ref, tauo_ref,
-     T_ref, L_ref, X_ref, A_ref) = refs
+    sens = spec.sensors
+    buf_ref = eps_ref = bufo_ref = None
+    if sens is not None:
+        buf_ref = refs.pop(0)
+        eps_ref = refs.pop(0)
+        (qn_ref, vn_ref, lam_ref, res_ref, fc_ref, a_ref, tauo_ref,
+         bufo_ref, T_ref, L_ref, X_ref, A_ref) = refs
+    else:
+        (qn_ref, vn_ref, lam_ref, res_ref, fc_ref, a_ref, tauo_ref,
+         T_ref, L_ref, X_ref, A_ref) = refs
     nq, nv = spec.nq, spec.nv
     inv_dt = 1.0 / float(spec.cfg.dt)
     cmd = [cmd_ref[m, 0] for m in range(spec.torque.nm)]
 
-    def body(_, carry):
-        qs, vs, lams = carry
-        q = [qs[i] for i in range(nq)]
-        v = [vs[i] for i in range(nv)]
+    def body(i, carry):
+        if sens is not None:
+            qs, vs, lams, bufs_arr, eps_arr = carry
+        else:
+            qs, vs, lams = carry
+        q = [qs[j] for j in range(nq)]
+        v = [vs[j] for j in range(nv)]
         tau = _compute_tau(spec, q, v, cmd, mscale=mscale)
         q_next, v_next, lam_out, res, fc = _substep_math(
             spec, q, v, tau, lams, gq, T_ref, L_ref, X_ref, A_ref,
@@ -1333,13 +1576,48 @@ def _substep_multi_body(spec: SubstepSpec, n_sub: int, refs):
             fc_ref[:, 0] = fc
         else:
             fc_ref[0, 0] = jnp.zeros_like(qs[0])
-        a_ref[:, 0] = (v_next - vs) * inv_dt
+        a_stk = (v_next - vs) * inv_dt
+        a_ref[:, 0] = a_stk
         tauo_ref[:, 0] = jnp.stack(tau)
-        return jnp.stack(q_next), v_next, lam_out
+        if sens is None:
+            return jnp.stack(q_next), v_next, lam_out
+        # ---- in-kernel sensor update at the ACCEPTED state ----------
+        zero = jnp.zeros_like(qs[0])
+        k_obs = sens.k_obs
+        commit = None if k_obs == 1 else ((i + 1) % k_obs == 0)
+        a_l = [a_stk[r] for r in range(nv)]
+        v_l = [v_next[r] for r in range(nv)]
+        fc_force = (
+            [fc[j] * inv_dt for j in range(3 * spec.ncp)]
+            if fc is not None else []
+        )
+        new_bufs = _sensor_stage(
+            spec, q_next, v_l, a_l, fc_force, tau,
+            [eps_arr[j] for j in range(sens.n_eps)],
+            [bufs_arr[j] for j in range(sens.n_buf)],
+            commit, zero,
+        )
+        bufs_arr = jnp.stack(new_bufs)
+        shifted = jnp.concatenate(
+            [eps_arr[sens.n_eps:], jnp.zeros_like(eps_arr[:sens.n_eps])]
+        )
+        eps_arr = (
+            shifted if commit is None
+            else jnp.where(commit, shifted, eps_arr)
+        )
+        return jnp.stack(q_next), v_next, lam_out, bufs_arr, eps_arr
 
-    qs, vs, lams = jax.lax.fori_loop(
-        0, n_sub, body, (q_ref[:, 0], v_ref[:, 0], lam0_ref[:, 0])
-    )
+    if sens is not None:
+        qs, vs, lams, bufs_arr, _ = jax.lax.fori_loop(
+            0, n_sub, body,
+            (q_ref[:, 0], v_ref[:, 0], lam0_ref[:, 0],
+             buf_ref[:, 0], eps_ref[:, 0]),
+        )
+        bufo_ref[:, 0] = bufs_arr
+    else:
+        qs, vs, lams = jax.lax.fori_loop(
+            0, n_sub, body, (q_ref[:, 0], v_ref[:, 0], lam0_ref[:, 0])
+        )
     qn_ref[:, 0] = qs
     vn_ref[:, 0] = vs
     lam_ref[:, 0] = lams
@@ -1347,18 +1625,26 @@ def _substep_multi_body(spec: SubstepSpec, n_sub: int, refs):
 
 def substep_batched_pallas_multi(spec: SubstepSpec, n_sub: int, q, v,
                                  cmd, lam0, gcoef=None, wrench=None,
-                                 mp=None, interpret=None):
+                                 mp=None, bufs=None, eps=None,
+                                 interpret=None):
     """Batched ``n_sub``-substep advance in one kernel launch: q (B,nq),
     v (B,nv), cmd (B,nm) motor command / PD target (zero-order hold),
     lam0 (B,nc) [+ gcoef as in substep_batched_pallas: (B,4K) Fourier /
     (B,5) stairs] [+ wrench (B,6) root-body spatial wrench] [+ mp
-    (B,n_mp) per-env model parameters when spec.randomized] → (q⁺, v⁺, λ,
-    residual, f_contact (B,ncp,3) impulses, a (B,nv), τ (B,nv)) — the
-    last two are the final substep's accepted acceleration and applied
-    torque. Requires ``spec.torque`` (the in-kernel actuation path)."""
+    (B,n_mp) per-env model parameters when spec.randomized] [+ bufs
+    (B,n_buf) flat sensor ring buffers and eps (B,n_upd·n_eps)
+    pre-sampled corruption lanes when spec.sensors — the in-kernel
+    sensor stage] → (q⁺, v⁺, λ, residual, f_contact (B,ncp,3) impulses,
+    a (B,nv), τ (B,nv) [, bufs⁺]) — a/τ are the final substep's
+    accepted acceleration and applied torque. Requires ``spec.torque``
+    (the in-kernel actuation path)."""
     if spec.torque is None:
         raise ValueError("multi-substep kernel requires spec.torque")
     _check_kernel_inputs(spec, gcoef, wrench, mp)
+    if (spec.sensors is not None) != (
+        bufs is not None and eps is not None
+    ):
+        raise ValueError("bufs + eps required iff spec.sensors")
     n, nc, nq, ncp = spec.nv, spec.cfg.nc, spec.nq, spec.ncp
     nfc = max(3 * ncp, 1)
     B = q.shape[0]
@@ -1369,12 +1655,21 @@ def substep_batched_pallas_multi(spec: SubstepSpec, n_sub: int, q, v,
         inputs.append((wrench, "zero"))
     if mp is not None:
         inputs.append((mp, "repeat"))
-    qn, vn, lam, res, fc, acc, tau = _lane_kernel_call(
+    out_dims = (nq, n, nc, 1, nfc, n, n)
+    if spec.sensors is not None:
+        inputs.append((bufs, "repeat"))
+        inputs.append((eps, "zero"))
+        out_dims = out_dims + (spec.sensors.n_buf,)
+    outs = _lane_kernel_call(
         spec, lambda *refs: _substep_multi_body(spec, n_sub, refs),
-        inputs, (nq, n, nc, 1, nfc, n, n), interpret,
+        inputs, out_dims, interpret,
     )
+    qn, vn, lam, res, fc, acc, tau = outs[:7]
     f_contact = (
         fc.reshape(B, ncp, 3) if ncp
         else jnp.zeros((B, 0, 3), jnp.float32)
     )
-    return qn, vn, lam, res[:, 0], f_contact, acc, tau
+    base = (qn, vn, lam, res[:, 0], f_contact, acc, tau)
+    if spec.sensors is not None:
+        return base + (outs[7],)
+    return base
