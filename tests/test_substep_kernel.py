@@ -73,7 +73,7 @@ class TestSubstepKernel:
 
         tree = make_free_box(mass=1.2, half_extents=(0.1, 0.08, 0.06))
         q0 = tree.neutral_q().at[2].set(0.12)
-        engines = _engines(tree, dt=1e-3, pgs_iters=8)
+        engines = _engines(tree, dt=1e-3, pgs_iters=4)
         _compare(
             tree, engines, q0, jnp.zeros(tree.nv), n_substeps=5,
             atol_q=5e-5, atol_v=5e-3,
@@ -86,7 +86,7 @@ class TestSubstepKernel:
         robot = make_anymal()
         tree = robot.tree
         q0 = jnp.asarray(stand_q(tree))
-        engines = _engines(tree, motors=robot.motors, dt=5e-3, pgs_iters=8)
+        engines = _engines(tree, motors=robot.motors, dt=5e-3, pgs_iters=4)
         _compare(
             tree, engines, q0, jnp.zeros(robot.nmotors), n_substeps=2,
             atol_q=2e-4, atol_v=2e-2,
@@ -109,7 +109,7 @@ class TestSubstepKernel:
         )
         q0 = jnp.asarray(stand_q(tree))
         engines = _engines(
-            tree, motors=robot.motors, ground=fg, dt=5e-3, pgs_iters=8
+            tree, motors=robot.motors, ground=fg, dt=5e-3, pgs_iters=4
         )
         assert engines["pallas_substep"]._substep_fourier
         _compare(
@@ -134,7 +134,7 @@ class TestSubstepKernel:
                 contact_model="constraint",
                 constraint_solver="pallas_substep",
                 dt=5e-3,
-                pgs_iters=8,
+                pgs_iters=4,
             ),
             motors=robot.motors,
             ground=template,
@@ -178,7 +178,7 @@ class TestSubstepKernel:
         )
         q0 = jnp.asarray(stand_q(tree))
         engines = _engines(
-            tree, motors=robot.motors, ground=pg, dt=5e-3, pgs_iters=8
+            tree, motors=robot.motors, ground=pg, dt=5e-3, pgs_iters=4
         )
         assert engines["pallas_substep"]._substep_gmode == "perlin"
         outs = _compare(
@@ -204,7 +204,7 @@ class TestSubstepKernel:
                 contact_model="constraint",
                 constraint_solver="pallas_substep",
                 dt=5e-3,
-                pgs_iters=8,
+                pgs_iters=4,
             ),
             motors=robot.motors,
             ground=template,
@@ -250,7 +250,7 @@ class TestSubstepKernel:
         q0 = jnp.asarray(stand_q(tree))
         q0 = q0.at[0].set(0.35).at[2].set(q0[2] + 0.08)
         engines = _engines(
-            tree, motors=robot.motors, ground=sg, dt=5e-3, pgs_iters=8
+            tree, motors=robot.motors, ground=sg, dt=5e-3, pgs_iters=4
         )
         assert engines["pallas_substep"]._substep_gmode == "stairs"
         outs = _compare(
@@ -275,7 +275,7 @@ class TestSubstepKernel:
                 contact_model="constraint",
                 constraint_solver="pallas_substep",
                 dt=5e-3,
-                pgs_iters=8,
+                pgs_iters=4,
             ),
             motors=robot.motors,
             ground=template,
@@ -318,7 +318,7 @@ class TestSubstepKernel:
         # exercised (the fused variant has its own test in
         # test_substep_multi.py)
         engines = _engines(
-            tree, motors=robot.motors, dt=5e-3, pgs_iters=8,
+            tree, motors=robot.motors, dt=5e-3, pgs_iters=4,
             substep_fusion=False,
         )
         B = 4
@@ -465,7 +465,7 @@ class TestSubstepKernel:
                     contact_model="constraint",
                     constraint_solver=backend,
                     compute_solver_residual=True,
-                    pgs_iters=8,
+                    pgs_iters=4,
                 ),
                 motors=robot.motors,
                 constraints=constraints,

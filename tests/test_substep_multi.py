@@ -74,7 +74,7 @@ class TestMultiSubstep:
                     substep_fusion=True,
                     compute_solver_residual=True,
                     dt=5e-3,
-                    pgs_iters=8,
+                    pgs_iters=4,
                 ),
                 motors=robot.motors,
                 controller=PDController(60.0, 2.0),
@@ -111,7 +111,7 @@ class TestMultiSubstep:
                     substep_fusion=True,
                     compute_solver_residual=True,
                     dt=5e-3,
-                    pgs_iters=8,
+                    pgs_iters=4,
                 ),
                 motors=robot.motors,
                 controller=PDController(60.0, 2.0),
@@ -170,7 +170,7 @@ class TestMultiSubstep:
                     constraint_solver=backend,
                     substep_fusion=True,
                     dt=5e-3,
-                    pgs_iters=8,
+                    pgs_iters=4,
                 ),
                 motors=robot.motors,
             )
@@ -209,7 +209,7 @@ class TestMultiSubstep:
                     constraint_solver=backend,
                     substep_fusion=True,
                     dt=5e-3,
-                    pgs_iters=8,
+                    pgs_iters=4,
                 ),
                 motors=robot.motors,
                 controller=ctl,
@@ -239,7 +239,7 @@ class TestMultiSubstep:
 
         opts = EngineOptions(
             contact_model="constraint", constraint_solver="xla",
-            dt=5e-3, pgs_iters=8,
+            dt=5e-3, pgs_iters=4,
         )
         e1 = Engine(tree, opts, motors=robot.motors, controller=ctl)
         e2 = Engine(
@@ -275,7 +275,7 @@ class TestMultiSubstep:
                     constraint_solver=backend,
                     substep_fusion=True,
                     dt=5e-3,
-                    pgs_iters=8,
+                    pgs_iters=4,
                 ),
                 motors=robot.motors,
                 controller=PDController(60.0, 2.0),
@@ -321,7 +321,7 @@ class TestMultiSubstep:
                 contact_model="constraint",
                 constraint_solver="pallas_substep",
                 dt=5e-3,
-                pgs_iters=8,
+                pgs_iters=4,
             ),
             motors=robot.motors,
             controller=PDController(60.0, 2.0),
@@ -364,7 +364,7 @@ class TestMultiSubstep:
                     constraint_solver=backend,
                     substep_fusion=True,
                     dt=5e-3,
-                    pgs_iters=8,
+                    pgs_iters=4,
                 ),
                 motors=robot.motors,
                 ground=sg,
@@ -399,7 +399,7 @@ class TestMultiSubstep:
                     constraint_solver=backend,
                     substep_fusion=True,
                     dt=5e-3,
-                    pgs_iters=8,
+                    pgs_iters=4,
                 ),
                 motors=robot.motors,
                 ground=fg,
