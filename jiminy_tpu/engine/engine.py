@@ -374,10 +374,14 @@ class Engine:
             )
         if self.forces:
             bad.append("registered forces unsupported")
-        if self._pair_set is not None and not self._pair_set.all_segs:
+        if (
+            self._pair_set is not None
+            and self._pair_set.total_contacts > 24
+        ):
             bad.append(
-                "box/mesh collision pairs unsupported in-kernel "
-                "(sphere/capsule pairs only) — auto falls back to the "
+                "pair contact count too large for in-kernel assembly "
+                f"({self._pair_set.total_contacts} > 24 — e.g. large "
+                "mesh support clouds) — auto falls back to the "
                 "solve-chain kernel / XLA"
             )
         if any(
@@ -408,16 +412,20 @@ class Engine:
         colors = list(
             ((off, n0), (off + 3 * n0, ncp - n0)) if ncp else ()
         )
-        # declared collision pairs: one [t1,t2,n] block each, appended
-        # after the ground rows, each its own color (pairs may share
-        # bodies — sequential Gauss-Seidel between colors), mirroring
-        # the XLA path's layout in _impulse_substep exactly
-        n_pairs = len(self.collision_pairs)
-        pair_off = off + 3 * ncp
-        colors += [(pair_off + 3 * k, 1) for k in range(n_pairs)]
+        # declared collision pairs: [t1,t2,n] blocks appended after the
+        # ground rows; each PAIR spans one color over its contact patch
+        # (pairs may share bodies — sequential Gauss-Seidel between
+        # colors), mirroring the XLA path's layout in _impulse_substep
+        n_pair_contacts = 0
+        if self._pair_set is not None:
+            pair_off = off + 3 * ncp
+            for k_i in self._pair_set.contacts_per_pair:
+                colors.append((pair_off, k_i))
+                pair_off += 3 * k_i
+            n_pair_contacts = self._pair_set.total_contacts
         cfg = SolveConfig(
             n=tree.nv,
-            nc=off + 3 * ncp + 3 * n_pairs,
+            nc=off + 3 * ncp + 3 * n_pair_contacts,
             dt=float(opts.dt),
             eq_blocks=tuple(
                 BlockSpec("equality", i, 1) for i in range(n_eq)

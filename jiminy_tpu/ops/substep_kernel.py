@@ -267,25 +267,54 @@ class SubstepSpec:
         # fed zeros, so engines enable it unconditionally)
         self.base_wrench = bool(base_wrench)
         # declared body-body/self-collision pairs (engine/collision.py
-        # CollisionPairSet): each contributes one [t1, t2, n] PGS block
-        # with its own solver color, assembled IN-KERNEL from the same
-        # branchless segment-segment narrow phase as the XLA path
-        # (reference: hpp-fcl pairs resolved inside the engine's hot
-        # loop, SURVEY.md §2.1 "Engine")
-        self.pairs = []
+        # CollisionPairSet): the pair's CONTACT GENERATORS are baked as
+        # static floats and re-run lane-major in-kernel — seg (the
+        # branchless segment-segment closest point), ptbox (points vs
+        # an exact oriented-box SDF: box-box corner sets, capsule-box
+        # axis samples) and ptseg (points vs a capsule SDF). Each pair
+        # spans one PGS color of its contact patch, mirroring the XLA
+        # path's pair_rows exactly (reference: hpp-fcl pairs resolved
+        # inside the engine's hot loop, SURVEY.md §2.1 "Engine")
+        self.pair_gens = []
+        self.pair_contacts = []
         if pairs is not None:
-            for k in range(pairs.n):
-                self.pairs.append((
-                    int(pairs.body_a[k]),
-                    [float(x) for x in pairs.a0[k]],
-                    [float(x) for x in pairs.a1[k]],
-                    float(pairs.ra[k]),
-                    int(pairs.body_b[k]),
-                    [float(x) for x in pairs.b0[k]],
-                    [float(x) for x in pairs.b1[k]],
-                    float(pairs.rb[k]),
-                    float(pairs.mu[k]),
-                ))
+            ff = lambda x: [float(y) for y in np.asarray(x)]
+            for kind, g in pairs.gens:
+                if kind == "seg":
+                    self.pair_gens.append((
+                        "seg",
+                        {
+                            "ba": int(g["ba"]), "a0": ff(g["a0"]),
+                            "a1": ff(g["a1"]), "ra": float(g["ra"]),
+                            "bb": int(g["bb"]), "b0": ff(g["b0"]),
+                            "b1": ff(g["b1"]), "rb": float(g["rb"]),
+                            "mu": float(g["mu"]),
+                        },
+                    ))
+                elif kind == "ptbox":
+                    self.pair_gens.append((
+                        "ptbox",
+                        {
+                            "bp": int(g["bp"]),
+                            "pts": [ff(p) for p in g["pts"]],
+                            "rp": float(g["rp"]), "bf": int(g["bf"]),
+                            "c": ff(g["c"]),
+                            "R": [ff(r) for r in g["R"]],
+                            "h": ff(g["h"]), "mu": float(g["mu"]),
+                        },
+                    ))
+                else:  # ptseg
+                    self.pair_gens.append((
+                        "ptseg",
+                        {
+                            "bp": int(g["bp"]),
+                            "pts": [ff(p) for p in g["pts"]],
+                            "rp": float(g["rp"]), "bf": int(g["bf"]),
+                            "p0": ff(g["p0"]), "p1": ff(g["p1"]),
+                            "rs": float(g["rs"]), "mu": float(g["mu"]),
+                        },
+                    ))
+            self.pair_contacts = list(pairs.contacts_per_pair)
         # per-env model randomization: when True, the PERTURBED inertial
         # constants (mass, h, origin inertia, armature [+ motor gain /
         # friction scales when torque is baked]) arrive as one packed
@@ -892,27 +921,17 @@ def _substep_math(spec: SubstepSpec, q, v, tau, lam0, gq,
         )
         active.extend([a_k, a_k, a_k])
 
-    # ---- declared collision pairs: branchless narrow phase + one
-    # [t1, t2, n] block per pair (own solver color), mirroring
-    # engine/collision.pair_rows exactly so both backends agree
+    # ---- declared collision pairs: branchless narrow phases + one
+    # [t1, t2, n] block per CONTACT (pairs span one color each),
+    # mirroring engine/collision.pair_rows exactly so backends agree
     mu_pairs = []
-    for (ba, a0l, a1l, ra_k, bb, b0l, b1l, rb_k, mu_k) in spec.pairs:
-        def world(b, pl):
-            pt = v_add(m_vec(xw[b][0], pl), xw[b][1])
-            return [lane(x) for x in pt]
 
-        pa0 = world(ba, a0l)
-        pa1 = world(ba, a1l)
-        pb0 = world(bb, b0l)
-        pb1 = world(bb, b1l)
-        ca, cb = _seg_seg_lane(pa0, pa1, pb0, pb1)
-        d_vec = v_sub(ca, cb)
-        dist = jnp.sqrt(v_dot(d_vec, d_vec) + 1e-18)
-        nk = [d_vec[r] / dist for r in range(3)]  # from B toward A
-        depth_k = (ra_k + rb_k) - dist
-        # material surface points (lever arms included)
-        sa = [ca[r] - ra_k * nk[r] for r in range(3)]
-        sb = [cb[r] + rb_k * nk[r] for r in range(3)]
+    def world_pt(b, pl):
+        pt = v_add(m_vec(xw[b][0], pl), xw[b][1])
+        return [lane(x) for x in pt]
+
+    def emit_pair_contact(bp, sa, bf, sb, nk, depth_k, mu_k):
+        """Shared row math (collision._contact_rows lane-major)."""
         cnd = jnp.abs(nk[0]) < 0.9
         ref = [
             jnp.where(cnd, 1.0, 0.0),
@@ -923,10 +942,11 @@ def _substep_math(spec: SubstepSpec, q, v, tau, lam0, gq,
         t1n = jax.lax.rsqrt(v_dot(t1, t1) + 1e-18)
         t1 = [t1[r] * t1n for r in range(3)]
         t2 = v_cross(nk, t1)
-        Ja = point_jac(ba, sa)
-        Jb = point_jac(bb, sb)
+        Ja = point_jac(bp, sa)
+        Jb = point_jac(bf, sb)
         Jrel = [
-            [Ja[r][c2] - Jb[r][c2] for c2 in range(nv)] for r in range(3)
+            [Ja[r][c2] - Jb[r][c2] for c2 in range(nv)]
+            for r in range(3)
         ]
         for dvec_ in (t1, t2, nk):
             rows_J.append(
@@ -951,6 +971,77 @@ def _substep_math(spec: SubstepSpec, q, v, tau, lam0, gq,
         )
         active.extend([a_k, a_k, a_k])
         mu_pairs.extend([lane(mu_k)] * 3)
+
+    for kind, g in spec.pair_gens:
+        if kind == "seg":
+            pa0 = world_pt(g["ba"], g["a0"])
+            pa1 = world_pt(g["ba"], g["a1"])
+            pb0 = world_pt(g["bb"], g["b0"])
+            pb1 = world_pt(g["bb"], g["b1"])
+            ca, cb = _seg_seg_lane(pa0, pa1, pb0, pb1)
+            d_vec = v_sub(ca, cb)
+            dist = jnp.sqrt(v_dot(d_vec, d_vec) + 1e-18)
+            nk = [d_vec[r] / dist for r in range(3)]  # from B toward A
+            depth_k = (g["ra"] + g["rb"]) - dist
+            sa = [ca[r] - g["ra"] * nk[r] for r in range(3)]
+            sb = [cb[r] + g["rb"] * nk[r] for r in range(3)]
+            emit_pair_contact(
+                g["ba"], sa, g["bb"], sb, nk, depth_k, g["mu"]
+            )
+        elif kind == "ptbox":
+            bp, bf, rp = g["bp"], g["bf"], g["rp"]
+            c_w = world_pt(bf, g["c"])
+            Rw = m_mul(xw[bf][0], g["R"])  # box orientation in world
+            for pl_b in g["pts"]:
+                pw = world_pt(bp, pl_b)
+                rel = v_sub(pw, c_w)
+                pl = m_tvec(Rw, rel)  # box frame
+                # exact box SDF + outward normal (collision.box_sdf)
+                h = g["h"]
+                qd = [jnp.abs(pl[r]) - h[r] for r in range(3)]
+                out = [jnp.maximum(qd[r], 0.0) for r in range(3)]
+                d_out = jnp.sqrt(v_dot(out, out) + 1e-18)
+                mmax = jnp.maximum(jnp.maximum(qd[0], qd[1]), qd[2])
+                sdf = d_out + jnp.minimum(mmax, 0.0)
+                sgn = [
+                    jnp.where(pl[r] >= 0, 1.0, -1.0) for r in range(3)
+                ]
+                g_out = [sgn[r] * out[r] / d_out for r in range(3)]
+                one = [
+                    jnp.where(qd[r] >= mmax - 1e-12, 1.0, 0.0)
+                    for r in range(3)
+                ]
+                tot = one[0] + one[1] + one[2]
+                g_in = [sgn[r] * one[r] / tot for r in range(3)]
+                inside = mmax < 0.0
+                n_l = [
+                    jnp.where(inside, g_in[r], g_out[r])
+                    for r in range(3)
+                ]
+                n_w = m_vec(Rw, n_l)
+                depth_k = rp - sdf
+                sa = [pw[r] - rp * n_w[r] for r in range(3)]
+                sb = [pw[r] - sdf * n_w[r] for r in range(3)]
+                emit_pair_contact(bp, sa, bf, sb, n_w, depth_k, g["mu"])
+        else:  # ptseg
+            bp, bf, rp, rs = g["bp"], g["bf"], g["rp"], g["rs"]
+            p0w = world_pt(bf, g["p0"])
+            p1w = world_pt(bf, g["p1"])
+            seg = v_sub(p1w, p0w)
+            denom = jnp.maximum(v_dot(seg, seg), 1e-12)
+            for pl_b in g["pts"]:
+                pw = world_pt(bp, pl_b)
+                s_t = jnp.clip(
+                    v_dot(v_sub(pw, p0w), seg) / denom, 0.0, 1.0
+                )
+                cpt = [p0w[r] + s_t * seg[r] for r in range(3)]
+                d_vec = v_sub(pw, cpt)
+                dist = jnp.sqrt(v_dot(d_vec, d_vec) + 1e-18)
+                nk = [d_vec[r] / dist for r in range(3)]
+                depth_k = (rp + rs) - dist
+                sa = [pw[r] - rp * nk[r] for r in range(3)]
+                sb = [cpt[r] + rs * nk[r] for r in range(3)]
+                emit_pair_contact(bp, sa, bf, sb, nk, depth_k, g["mu"])
 
     nc = len(rows_J)
     assert nc == cfg.nc, (nc, cfg.nc)

@@ -180,19 +180,83 @@ class TestSphereBoxRest:
         assert abs(float(st.q[3]) - 0.2) < 5e-3, float(st.q[3])
 
 
-class TestKernelGate:
-    def test_box_pairs_gate_the_substep_kernel_off(self):
+class TestBoxPairKernel:
+    """Box pairs (exact SDF point contacts) resolved IN the
+    whole-substep kernel — same generators lane-major, one color per
+    pair's contact patch."""
+
+    def test_box_pair_kernel_matches_xla(self):
         tree, slab, cube = _slab_and_free_body()
         pair = CollisionPair(
             Box("slab", (0, 0, 0.05), (0.3, 0.3, 0.05)),
             Box("cube", (0, 0, 0), (0.1, 0.1, 0.1)),
+            friction=0.8,
         )
-        with pytest.raises(ValueError, match="box/mesh collision pairs"):
+        outs = {}
+        for backend in ("xla", "pallas_substep"):
+            eng = Engine(
+                tree,
+                EngineOptions(
+                    dt=1e-3, contact_model="constraint", pgs_iters=8,
+                    constraint_solver=backend,
+                    compute_solver_residual=True,
+                ),
+                collision_pairs=(pair,),
+            )
+            if backend == "pallas_substep":
+                # 16 point contacts baked as in-kernel generators
+                assert len(eng._substep_spec.pair_gens) == 2
+                assert eng._substep_spec.pair_contacts == [16]
+            # landing: cube just above the slab face, small offset +
+            # lateral speed so friction rows do real work
+            q0 = (
+                tree.neutral_q()
+                .at[1].set(0.05)
+                .at[3].set(0.203)
+            )
+            B = 3
+            states = jax.vmap(lambda q: eng.reset(q=q))(
+                jnp.tile(q0, (B, 1))
+            )
+            v0 = jnp.zeros(tree.nv).at[1].set(-0.3).at[2].set(0.2)
+            states = states.replace(
+                v=jnp.tile(v0, (B, 1))
+                * jnp.linspace(0.5, 1.5, B)[:, None]
+            )
+            step = jax.jit(
+                jax.vmap(
+                    lambda s: eng.step(
+                        s, jnp.zeros(tree.nv), n_substeps=6
+                    )
+                )
+            )
+            outs[backend] = step(states)
+        a, b = outs["xla"], outs["pallas_substep"]
+        np.testing.assert_allclose(b.q, a.q, atol=1e-5, rtol=1e-4)
+        np.testing.assert_allclose(b.v, a.v, atol=1e-3, rtol=1e-3)
+        # the pair actually acted: the falling cube decelerated
+        assert float(a.v[-1, 1 + 2]) > -1.5 * 0.3 + 0.05
+
+
+class TestKernelGate:
+    def test_oversized_pair_sets_gate_the_kernel_off(self):
+        """More than 24 pair contacts (e.g. two box-box patches) exceed
+        the in-kernel assembly cap — explicit request fails loudly,
+        auto falls back."""
+        tree, slab, cube = _slab_and_free_body()
+        pairs = tuple(
+            CollisionPair(
+                Box("slab", (0, 0, z), (0.3, 0.3, 0.05)),
+                Box("cube", (0, 0, 0), (0.1, 0.1, 0.1)),
+            )
+            for z in (0.05, 0.15)
+        )
+        with pytest.raises(ValueError, match="contact count too large"):
             Engine(
                 tree,
                 EngineOptions(
                     dt=1e-3, contact_model="constraint",
                     constraint_solver="pallas_substep",
                 ),
-                collision_pairs=(pair,),
+                collision_pairs=pairs,
             )
