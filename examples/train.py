@@ -69,10 +69,12 @@ def make_env(name: str, max_steps: int, terrain=None, push=0.0,
             **walker_kwargs,
         )
     if name == "cassie_flex":
-        # 3-DoF hip flexibility (spherical joints → solve-chain kernel)
+        # 3-DoF hip flexibility (spherical joints — in the whole-substep
+        # kernel since round 5; --solver pallas forces the old chain path)
         return E.CassieEnv(
             sim_dt=2e-3, max_steps=max_steps, target_speed=0.4,
             push_magnitude=push, flexibility=True, observe=observe,
+            **({"engine_options": _solver_options(solver)} if solver else {}),
             **walker_kwargs,
         )
     if name == "ant":

@@ -392,10 +392,15 @@ class Engine:
             )
         if any(
             tree.joint_type[i]
-            not in (JointType.FREE, JointType.REVOLUTE, JointType.PRISMATIC)
+            not in (
+                JointType.FREE,
+                JointType.REVOLUTE,
+                JointType.PRISMATIC,
+                JointType.SPHERICAL,
+            )
             for i in range(tree.nb)
         ):
-            bad.append("spherical/flexibility joints unsupported")
+            bad.append("unsupported joint type in tree")
         if self._bounds_mode() != "constraint" or not opts.enable_bounds:
             bad.append("bounds must run as constraints")
         if bad:

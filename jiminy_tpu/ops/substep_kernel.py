@@ -16,11 +16,13 @@ one; this kernel removes the remaining per-substep launch cloud
 Scope (gated in the engine; anything else falls back to the per-op
 paths): euler_symplectic stepper, constraint contact model, flat /
 Fourier / analytic-stairs ground (per-env coefficients as a traced
-input), FREE/REVOLUTE/PRISMATIC joints, DistanceConstraint closed
-loops, declared collision pairs (in-kernel narrow phase), per-env
-model randomization (inertial/motor lanes as a traced input — see
-SubstepSpec.randomized), no external forces. Joint torque (controller
-+ motor model +
+input), FREE/REVOLUTE/PRISMATIC/SPHERICAL joints (spherical = the
+quaternion flexibility joints, with the −k·log(quat) restoring torque
+in-kernel), DistanceConstraint closed loops, declared collision pairs
+(in-kernel narrow phases incl. box SDF), per-env model randomization
+(inertial/motor lanes as a traced input — see SubstepSpec.randomized),
+the in-kernel sensor stage, no external forces. Joint torque
+(controller + motor model +
 springs) is computed outside for the single-substep kernel; the
 multi-substep kernel (substep_batched_pallas_multi) recomputes it
 IN-KERNEL from a declarative TorqueSpec and runs all n_substeps of an
@@ -393,9 +395,9 @@ class TorqueSpec:
 def _compute_tau(spec: SubstepSpec, q, v, cmd, mscale=None):
     """engine._joint_torque in lane-major form: PD / direct motor command
     → effort clamp → reduction → velocity derate → − friction, then
-    joint damping and 1-DoF joint springs (hardware/motors.py
-    compute_effort + engine._spring_torques; FREE joints and spherical
-    flexibility are outside the kernel's joint scope). Returns a list of
+    joint damping, 1-DoF joint springs and spherical flexibility
+    restoring torques −k·log(quat) (hardware/motors.py compute_effort +
+    engine._spring_torques). Returns a list of
     nv lane values. ``mscale`` = (gain, fric) per-motor lane scales for
     randomized models (ModelParams.apply_to_motors: gain multiplies the
     reduction, fric multiplies dry + viscous friction)."""
@@ -433,13 +435,60 @@ def _compute_tau(spec: SubstepSpec, q, v, cmd, mscale=None):
         if d:
             tau[r] = tau[r] - d * v[r]
     for i in range(spec.nb):
-        if spec.joint_type[i] == int(JointType.FREE):
+        t = spec.joint_type[i]
+        if t == int(JointType.FREE):
             continue
         vo, qo = spec.v_off[i], spec.q_off[i]
+        if t == int(JointType.SPHERICAL):
+            # flexibility restoring torque −k·log(quat)
+            # (engine._spring_torques)
+            ks = [float(spec.stiffness[vo + r]) for r in range(3)]
+            if any(ks):
+                rv = _quat_log_lane(
+                    [q[qo], q[qo + 1], q[qo + 2], q[qo + 3]]
+                )
+                for r in range(3):
+                    tau[vo + r] = tau[vo + r] - ks[r] * rv[r]
+            continue
         k = float(spec.stiffness[vo])
         if k:
             tau[vo] = tau[vo] - k * q[qo]
     return tau
+
+
+_ATAN_COEF = (  # Abramowitz & Stegun 4.4.49, |err| ≤ 2e-8 on [0, 1]
+    0.9999993329, -0.3332985605, 0.1994653599, -0.1390853351,
+    0.0964200441, -0.0559098861, 0.0218612288, -0.0040540580,
+)
+
+
+def _atan2_pos_lane(s, w):
+    """atan2(s, w) for s, w ≥ 0 lanes — Mosaic has no atan2 primitive,
+    so: octant swap into x ∈ [0, 1] + the A&S polynomial."""
+    swap = s > w
+    num = jnp.where(swap, w, s)
+    den = jnp.where(swap, s, w)
+    x = num / jnp.maximum(den, 1e-30)
+    x2 = x * x
+    p = _ATAN_COEF[-1]
+    for c in _ATAN_COEF[-2::-1]:
+        p = p * x2 + c
+    p = p * x
+    return jnp.where(swap, (np.pi / 2.0) - p, p)
+
+
+def _quat_log_lane(qv):
+    """so3.quat_log on [x, y, z, w] lanes → rotation-vector lanes."""
+    s2 = qv[0] * qv[0] + qv[1] * qv[1] + qv[2] * qv[2]
+    s = jnp.sqrt(s2 + 1e-24)
+    w = jnp.abs(qv[3])
+    sign = jnp.where(qv[3] < 0.0, -1.0, 1.0)
+    angle = 2.0 * _atan2_pos_lane(s, w)
+    small = s2 < 1e-14
+    scale = jnp.where(
+        small, 2.0 / jnp.maximum(w, 1e-12), angle / s
+    )
+    return [sign * qv[k] * scale for k in range(3)]
 
 
 def _lane(x, like):
@@ -535,6 +584,8 @@ def _lane_joint_motion(spec: SubstepSpec, i: int, vec, zero):
             [vec[vo + 3], vec[vo + 4], vec[vo + 5]],
             [vec[vo], vec[vo + 1], vec[vo + 2]],
         )
+    if t == JT.SPHERICAL:
+        return [vec[vo], vec[vo + 1], vec[vo + 2]], [zero] * 3
     ax = [float(a) for a in spec.axis[i]]
     if t == JT.REVOLUTE:
         return [lane(a) * vec[vo] if a else zero for a in ax], [zero] * 3
@@ -559,6 +610,12 @@ def _lane_fk(spec: SubstepSpec, q, v, zero):
         if t == JT.FREE:
             Rj = quat_to_m([q[off + 3], q[off + 4], q[off + 5], q[off + 6]])
             pj = [q[off], q[off + 1], q[off + 2]]
+        elif t == JT.SPHERICAL:
+            # flexibility joints (quaternion-parameterized 3-DoF
+            # rotation — reference: flexible joints, SURVEY.md §2.1
+            # "Model")
+            Rj = quat_to_m([q[off], q[off + 1], q[off + 2], q[off + 3]])
+            pj = [zero, zero, zero]
         elif t == JT.REVOLUTE:
             # Rodrigues about constant axis (algos._axis_angle_matrix)
             ax = [float(a) for a in spec.axis[i]]
@@ -683,6 +740,9 @@ def _substep_math(spec: SubstepSpec, q, v, tau, lam0, gq,
             for k in range(3):
                 bias[vo + k] = lin[k]
                 bias[vo + 3 + k] = ang[k]
+        elif t == JT.SPHERICAL:
+            for k in range(3):
+                bias[vo + k] = ang[k]
         elif t == JT.REVOLUTE:
             ax = [float(a) for a in spec.axis[i]]
             bias[vo] = v_dot(ang, [lane(a) for a in ax])
@@ -710,6 +770,14 @@ def _substep_math(spec: SubstepSpec, q, v, tau, lam0, gq,
                 e = [1.0 if j == k else 0.0 for j in range(3)]
                 cols.append((e, [0.0, 0.0, 0.0]))
             return cols
+        if t == JT.SPHERICAL:
+            return [
+                (
+                    [1.0 if j == k else 0.0 for j in range(3)],
+                    [0.0, 0.0, 0.0],
+                )
+                for k in range(3)
+            ]
         ax = [float(a) for a in spec.axis[i]]
         if t == JT.REVOLUTE:
             return [(ax, [0.0, 0.0, 0.0])]
@@ -1099,6 +1167,25 @@ def _substep_math(spec: SubstepSpec, q, v, tau, lam0, gq,
         fc = None
 
     # ---- integrate (algos.integrate, euler_symplectic) ------------------
+    def quat_step(quat, wx, wy, wz):
+        """so3.quat_integrate: q ⊗ exp(ω dt / 2), renormalized."""
+        wx, wy, wz = wx * dt, wy * dt, wz * dt
+        ang2 = wx * wx + wy * wy + wz * wz
+        ang = jnp.sqrt(ang2 + 1e-24)
+        half = 0.5 * ang
+        sin_h = jnp.sin(half)
+        cos_h = jnp.cos(half)
+        scale = sin_h / ang
+        ex, ey, ez, ew = wx * scale, wy * scale, wz * scale, cos_h
+        qx, qy, qz, qw = quat
+        # quaternion product q ⊗ e (xyzw)
+        nx = qw * ex + qx * ew + qy * ez - qz * ey
+        ny = qw * ey - qx * ez + qy * ew + qz * ex
+        nz = qw * ez + qx * ey - qy * ex + qz * ew
+        nw = qw * ew - qx * ex - qy * ey - qz * ez
+        norm = jax.lax.rsqrt(nx * nx + ny * ny + nz * nz + nw * nw)
+        return [nx * norm, ny * norm, nz * norm, nw * norm]
+
     q_next = list(q)
     for i in range(nb):
         t = spec.joint_type[i]
@@ -1108,26 +1195,15 @@ def _substep_math(spec: SubstepSpec, q, v, tau, lam0, gq,
             dp = m_vec(Rb, [vn[vo] * dt, vn[vo + 1] * dt, vn[vo + 2] * dt])
             for k in range(3):
                 q_next[qo + k] = q[qo + k] + dp[k]
-            # so3.quat_integrate: q ⊗ exp(ω dt / 2)
-            wx, wy, wz = vn[vo + 3] * dt, vn[vo + 4] * dt, vn[vo + 5] * dt
-            ang2 = wx * wx + wy * wy + wz * wz
-            ang = jnp.sqrt(ang2 + 1e-24)
-            half = 0.5 * ang
-            sin_h = jnp.sin(half)
-            cos_h = jnp.cos(half)
-            scale = sin_h / ang
-            ex, ey, ez, ew = wx * scale, wy * scale, wz * scale, cos_h
-            qx, qy, qz, qw = q[qo + 3], q[qo + 4], q[qo + 5], q[qo + 6]
-            # quaternion product q ⊗ e (xyzw)
-            nx = qw * ex + qx * ew + qy * ez - qz * ey
-            ny = qw * ey - qx * ez + qy * ew + qz * ex
-            nz = qw * ez + qx * ey - qy * ex + qz * ew
-            nw = qw * ew - qx * ex - qy * ey - qz * ez
-            norm = jax.lax.rsqrt(nx * nx + ny * ny + nz * nz + nw * nw)
-            q_next[qo + 3] = nx * norm
-            q_next[qo + 4] = ny * norm
-            q_next[qo + 5] = nz * norm
-            q_next[qo + 6] = nw * norm
+            q_next[qo + 3: qo + 7] = quat_step(
+                [q[qo + 3], q[qo + 4], q[qo + 5], q[qo + 6]],
+                vn[vo + 3], vn[vo + 4], vn[vo + 5],
+            )
+        elif t == JT.SPHERICAL:
+            q_next[qo: qo + 4] = quat_step(
+                [q[qo], q[qo + 1], q[qo + 2], q[qo + 3]],
+                vn[vo], vn[vo + 1], vn[vo + 2],
+            )
         else:
             q_next[qo] = q[qo] + vn[vo] * dt
 

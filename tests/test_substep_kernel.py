@@ -423,6 +423,42 @@ class TestSubstepKernel:
         assert abs(float(r) - 1.0) < 1e-3, float(r)
         assert float(jnp.max(jnp.abs(a.lam))) > 1e-4
 
+    @pytest.mark.slow  # interpret-mode Pallas: minutes on CPU
+    def test_cassie_flexibility_matches_xla(self):
+        """SPHERICAL flexibility joints in-kernel (quaternion FK, 3-DoF
+        motion subspace, quat-exp integrate, −k·log(quat) restoring
+        torque): the flexible-hip Cassie must match the XLA path —
+        before round 5 flexibility gated the whole-substep kernel off
+        entirely."""
+        from jiminy_tpu.models.biped import make_cassie
+
+        robot, constraints, stand = make_cassie(flexibility=True)
+        tree = robot.tree
+        from jiminy_tpu.core.tree import JointType as _JT
+
+        assert any(
+            tree.joint_type[i] == _JT.SPHERICAL for i in range(tree.nb)
+        )
+        engines = {}
+        for backend in ("xla", "pallas_substep"):
+            engines[backend] = Engine(
+                tree,
+                EngineOptions(
+                    dt=2e-3,
+                    contact_model="constraint",
+                    constraint_solver=backend,
+                    compute_solver_residual=True,
+                    pgs_iters=4,
+                ),
+                motors=robot.motors,
+                constraints=constraints,
+            )
+        _compare(
+            tree, engines, jnp.asarray(stand),
+            jnp.zeros(robot.nmotors), n_substeps=2,
+            atol_q=2e-4, atol_v=3e-2,
+        )
+
     def test_gating_rejects_unsupported(self):
         """Configs outside the kernel's scope fail loudly at build."""
         import pytest
