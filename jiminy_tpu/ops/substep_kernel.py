@@ -250,12 +250,18 @@ class SubstepSpec:
         self.n_fourier = int(n_fourier)
         # DistanceConstraints (Cassie pushrods): tuples of
         # (body1, p1_local, body2, p2_local, distance, baumgarte_freq)
+        # snapshot fp_pos to numpy BEFORE indexing: this spec may be
+        # built lazily inside a jit trace (randomized/sensor variants),
+        # where indexing a concrete jnp constant lifts it to a tracer
+        fp_pos_np = (
+            np.asarray(tree.fp_pos) if dist_constraints else None
+        )
         self.dist_constraints = [
             (
                 int(tree.frame_body[c.frame1]),
-                [float(x) for x in np.asarray(tree.fp_pos[c.frame1])],
+                [float(x) for x in fp_pos_np[c.frame1]],
                 int(tree.frame_body[c.frame2]),
-                [float(x) for x in np.asarray(tree.fp_pos[c.frame2])],
+                [float(x) for x in fp_pos_np[c.frame2]],
                 float(c.distance),
                 float(c.baumgarte_freq),
             )
@@ -1353,6 +1359,14 @@ class SensorKernelSpec:
         from jiminy_tpu.hardware.sensors import NOISE_DIMS, SENSOR_DIMS
 
         self.k_obs = int(k_obs)
+        # snapshot to NUMPY before any per-element indexing: this spec
+        # may be built lazily INSIDE a jit trace (e.g. the randomized
+        # variant on the first step(model_params=...)), where indexing
+        # a concrete jnp constant lifts it to a tracer and float() dies
+        fp_rot = np.asarray(tree.fp_rot)
+        fp_pos = np.asarray(tree.fp_pos)
+        frame_body = [int(b) for b in np.asarray(tree.frame_body)]
+        contact_body = [int(b) for b in np.asarray(tree.contact_body)]
         self.groups = []
         for g in suite.groups:
             if g.type not in ("imu", "encoder", "effort", "contact"):
@@ -1369,12 +1383,12 @@ class SensorKernelSpec:
             if g.type == "imu":
                 tg = []
                 for f in g.target:
-                    b = int(tree.frame_body[f])
+                    b = frame_body[f]
                     if b < 0:
                         raise ValueError("imu on a world frame")
-                    Rfp = [[float(tree.fp_rot[f][r][c]) for c in range(3)]
+                    Rfp = [[float(fp_rot[f][r][c]) for c in range(3)]
                            for r in range(3)]
-                    pfp = [float(x) for x in np.asarray(tree.fp_pos[f])]
+                    pfp = [float(x) for x in fp_pos[f]]
                     tg.append((b, Rfp, pfp))
                 entry["targets"] = tg
             elif g.type in ("encoder", "effort"):
@@ -1384,7 +1398,7 @@ class SensorKernelSpec:
                 ]
             else:  # contact
                 entry["targets"] = [
-                    (int(k), int(tree.contact_body[k])) for k in g.target
+                    (int(k), contact_body[k]) for k in g.target
                 ]
             self.groups.append(entry)
         self.n_buf = sum(
