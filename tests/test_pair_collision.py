@@ -240,7 +240,7 @@ class TestPairKernel:
             )
             outs[backend] = step(states)
             if backend == "pallas_substep":
-                assert eng._substep_spec.pairs  # actually in-kernel
+                assert eng._substep_spec.pair_gens  # actually in-kernel
         a, b = outs["xla"], outs["pallas_substep"]
         np.testing.assert_allclose(b.q, a.q, atol=1e-5, rtol=1e-4)
         np.testing.assert_allclose(b.v, a.v, atol=1e-3, rtol=1e-3)
