@@ -108,6 +108,22 @@ def main():
           f"{B / full * 1e6 - B / sim_only * 1e6:6.1f} us/step "
           f"({1 - full / sim_only:+.1%} of throughput)")
 
+    # ---- sensor path (VERDICT r4 #4): fused in-kernel stage vs the
+    # chunked fallback (n_obs_updates launches + XLA measurement cloud)
+    with jax.default_device(cpu):
+        env_s = ANYmalEnv(
+            observe="sensors", step_dt=0.02, sim_dt=5e-3, pgs_iters=8,
+            sensor_delay=5e-3, imu_noise=0.02, encoder_noise=0.005,
+        )
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    states_s = jax.jit(jax.vmap(env_s.reset))(keys)
+    if env_s._fused_sensors:
+        add("sensors, fused in-kernel stage", rollout_rate(
+            env_s, states_s, jax.vmap(env_s.step), B))
+        env_s._fused_sensors = False
+    add("sensors, chunked fallback", rollout_rate(
+        env_s, states_s, jax.vmap(env_s.step), B))
+
 
 if __name__ == "__main__":
     main()

@@ -459,6 +459,39 @@ class TestSubstepKernel:
             atol_q=2e-4, atol_v=3e-2,
         )
 
+    @pytest.mark.slow  # interpret-mode Pallas: minutes on CPU
+    def test_randomized_spec_builds_inside_jit(self):
+        """The randomized kernel variant is built LAZILY — often inside
+        a jit trace, where indexing a concrete jnp constant lifts it to
+        a tracer (round-5 ConcretizationTypeError on fp_pos with
+        DistanceConstraints). Cassie (pushrods) + model_params under
+        jit must trace cleanly."""
+        from jiminy_tpu.engine.randomization import ModelRandomization
+        from jiminy_tpu.models.biped import make_cassie
+
+        robot, constraints, stand = make_cassie()
+        tree = robot.tree
+        eng = Engine(
+            tree,
+            EngineOptions(
+                dt=2e-3, contact_model="constraint",
+                constraint_solver="pallas_substep", pgs_iters=4,
+            ),
+            motors=robot.motors,
+            constraints=constraints,
+        )
+        mr = ModelRandomization(mass_scale=(0.9, 1.1))
+        mp = mr.sample(jax.random.PRNGKey(0), tree, robot.motors)
+        st = eng.reset(q=jnp.asarray(stand))
+        # the lazy randomized-spec build happens inside THIS trace
+        out = jax.jit(
+            lambda s, p: eng.step(
+                s, jnp.zeros(robot.nmotors), n_substeps=2,
+                model_params=p,
+            )
+        )(st, mp)
+        assert bool(jnp.all(jnp.isfinite(out.q)))
+
     def test_gating_rejects_unsupported(self):
         """Configs outside the kernel's scope fail loudly at build."""
         import pytest
