@@ -70,10 +70,15 @@ def make_env(name: str, max_steps: int, terrain=None, push=0.0,
         )
     if name == "cassie_flex":
         # 3-DoF hip flexibility (spherical joints — in the whole-substep
-        # kernel since round 5; --solver pallas forces the old chain path)
+        # kernel since round 5; --solver pallas forces the old chain
+        # path). Forwards the full sensor/self-collision config like the
+        # rigid cassie branch — silently dropping --imu-noise etc. would
+        # fake a robustness artifact (round-5 review finding).
         return E.CassieEnv(
             sim_dt=2e-3, max_steps=max_steps, target_speed=0.4,
             push_magnitude=push, flexibility=True, observe=observe,
+            sensor_delay=sensor_delay, imu_noise=imu_noise,
+            encoder_noise=encoder_noise, self_collision=self_collision,
             **({"engine_options": _solver_options(solver)} if solver else {}),
             **walker_kwargs,
         )
@@ -93,6 +98,7 @@ def make_env(name: str, max_steps: int, terrain=None, push=0.0,
             max_steps=max_steps, target_speed=0.3, push_magnitude=push,
             observe=observe, sensor_delay=sensor_delay,
             imu_noise=imu_noise, encoder_noise=encoder_noise,
+            self_collision=self_collision,
             **walker_kwargs,
         )
     if name == "cartpole":

@@ -135,9 +135,9 @@ def shape_for_link(robot, link: str, index: int = 0, exact: bool = True):
     if g[0] == "box":
         corners = np.asarray(g[1], np.float64)  # (8, 3) world of body
         if exact:
-            # recover center/half-extents; URDF boxes parse to their 8
-            # corner points (axis-aligned composites handled exactly;
-            # a rotated <origin> box keeps its corner cloud as a mesh)
+            # recover the exact oriented box from the parse-time corner
+            # cloud (the enumeration order pins the edge frame, so a
+            # rotated <origin> box reconstructs exactly too)
             c = corners.mean(axis=0)
             d = corners - c
             # orthonormal edge frame from the corner layout
@@ -220,16 +220,13 @@ class CollisionPairSet:
       - ``ptseg``: k points tested against a capsule SDF (mesh-capsule,
         mesh-sphere; mesh-mesh → each cloud vs the other's fitted
         capsule)
-    ``contacts_per_pair`` drives the engine's PGS color layout; the
-    stacked seg arrays (body_a, a0, …) remain valid iff ``all_segs`` —
-    the whole-substep kernel's scope."""
+    ``contacts_per_pair`` drives the engine's PGS color layout in BOTH
+    backends (pair_rows on XLA, SubstepSpec.pair_gens in-kernel)."""
 
     def __init__(self, tree: KinematicTree, pairs, default_friction):
         self.n = len(pairs)
         self.gens = []  # (kind, data dict)
         self.contacts_per_pair = []
-        self.body_a, self.body_b = [], []
-        a0, a1, ra, b0, b1, rb, mu_seg = [], [], [], [], [], [], []
         for p in pairs:
             ia = _resolve_body(tree, p.a.body)
             ib = _resolve_body(tree, p.b.body)
@@ -244,24 +241,11 @@ class CollisionPairSet:
             for kind, data in self._decompose(p.a, ia, p.b, ib):
                 data["mu"] = mu
                 self.gens.append((kind, data))
-                if kind == "seg":
-                    self.body_a.append(data["ba"])
-                    self.body_b.append(data["bb"])
-                    a0.append(data["a0"]), a1.append(data["a1"])
-                    ra.append(data["ra"])
-                    b0.append(data["b0"]), b1.append(data["b1"])
-                    rb.append(data["rb"])
-                    mu_seg.append(mu)
-                    n_contacts += 1
-                else:
-                    n_contacts += len(data["pts"])
+                n_contacts += (
+                    1 if kind == "seg" else len(data["pts"])
+                )
             self.contacts_per_pair.append(n_contacts)
         self.total_contacts = sum(self.contacts_per_pair)
-        self.all_segs = all(k == "seg" for k, _ in self.gens)
-        f = lambda x: np.asarray(x, np.float32)
-        self.a0, self.a1, self.ra = f(a0), f(a1), f(ra)
-        self.b0, self.b1, self.rb = f(b0), f(b1), f(rb)
-        self.mu = f(mu_seg)
 
     @staticmethod
     def _decompose(sa, ia, sb, ib):

@@ -703,10 +703,14 @@ class Engine:
 
         from jiminy_tpu.ops.substep_kernel import SensorKernelSpec
 
+        # the cached entry holds the SUITE itself: keying by id() alone
+        # would let a garbage-collected suite's address be reused by a
+        # different suite and silently return a stale spec (round-5
+        # review finding)
         key = (id(suite), int(k_obs), bool(randomized))
         hit = self._sensor_specs.get(key)
-        if hit is not None:
-            return hit
+        if hit is not None and hit[0] is suite:
+            return hit[1]
         if randomized and self._get_rand_substep_fn() is None:
             raise ValueError("no randomized kernel in scope")
         base = (
@@ -714,7 +718,7 @@ class Engine:
         )
         spec = copy.copy(base)
         spec.sensors = SensorKernelSpec(self.tree, suite, k_obs)
-        self._sensor_specs[key] = spec
+        self._sensor_specs[key] = (suite, spec)
         return spec
 
     def _get_sensor_multi_fn(self, n_sub: int, suite, k_obs: int,

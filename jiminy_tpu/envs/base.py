@@ -106,18 +106,30 @@ class BaseEnv:
             self.observe_dt = float(observe_dt or step_dt)
             self.n_obs_updates = 1
             self.n_substeps_per_obs = self.n_substeps
-        # in-kernel sensor stage: when the engine's fused multi kernel
-        # can measure + ring-push inside ONE launch (sphere/capsule-only
-        # pairs, supported sensor types, kernel-servable ground), the
-        # sensor path keeps flagship speed instead of splitting into
-        # n_obs_updates launches + an XLA measurement cloud per update
-        self._fused_sensors = (
-            sensors is not None
-            and engine.sensor_fusion_ready(
-                sensors, self.n_substeps, self.n_substeps_per_obs
+        # in-kernel sensor-stage opt-out (tests force the fallback by
+        # setting this False); the live availability check is
+        # _fused_sensors below — a PROPERTY, so engine.set_options
+        # (e.g. substep_fusion=False) after construction is honored
+        self._fused_sensors_enabled = True
+
+    @property
+    def _fused_sensors(self) -> bool:
+        """Can (and should) the sensor path run the in-kernel sensor
+        stage? One launch per env step — measure + ring-push in VMEM —
+        instead of n_obs_updates launches + an XLA measurement cloud.
+        Evaluated per trace so post-construction engine.set_options
+        changes are honored (cheap: sensor_fusion_ready caches)."""
+        return (
+            self.sensors is not None
+            and self._fused_sensors_enabled
+            and self.engine.sensor_fusion_ready(
+                self.sensors, self.n_substeps, self.n_substeps_per_obs
             )
-            and engine._kernel_ground_ok(engine.ground)
         )
+
+    @_fused_sensors.setter
+    def _fused_sensors(self, value: bool) -> None:
+        self._fused_sensors_enabled = bool(value)
 
     # ---- to override ---------------------------------------------------
     def _sample_state(self, key: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -266,6 +278,12 @@ class BaseEnv:
             use_fused = (
                 self._fused_sensors
                 and fext is None
+                # per-step grounds outside the kernel's scope fall back
+                # to the chunked scan, mirroring engine.step's silent
+                # fallback (the engine-side check raises instead)
+                and self.engine._kernel_ground_ok(
+                    gnd if gnd is not None else self.engine.ground
+                )
                 and (
                     mp is None
                     or self.engine._get_rand_substep_fn() is not None

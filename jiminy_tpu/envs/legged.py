@@ -60,7 +60,11 @@ class AtlasEnv(WalkerEnv):
     one v5e chip at batch 2048)."""
 
     def __init__(self, step_dt: float = 0.02, sim_dt: float = 4e-3, **kwargs):
-        from jiminy_tpu.models.humanoid import atlas_stand_q, make_atlas
+        from jiminy_tpu.models.humanoid import (
+            atlas_self_collision_pairs,
+            atlas_stand_q,
+            make_atlas,
+        )
 
         robot = make_atlas(
             sensor_period=kwargs.pop("sensor_period", sim_dt),
@@ -68,6 +72,12 @@ class AtlasEnv(WalkerEnv):
             imu_noise=kwargs.pop("imu_noise", 0.0),
             encoder_noise=kwargs.pop("encoder_noise", 0.0),
         )
+        # L/R thigh+shank capsule pairs + lower-arm-vs-torso-box pairs
+        # (exact box SDF), all resolved in the whole-substep kernel
+        if kwargs.pop("self_collision", False):
+            kwargs.setdefault(
+                "collision_pairs", atlas_self_collision_pairs()
+            )
         super().__init__(
             robot,
             stand_pose=jnp.asarray(atlas_stand_q(robot.tree)),

@@ -223,6 +223,47 @@ def humanoid_hardware(
     }
 
 
+def atlas_self_collision_pairs(p: HumanoidParams = ATLAS,
+                               leg_radius: float = 0.06,
+                               arm_radius: float = 0.05):
+    """Declared self-collision pairs for the humanoid: L-vs-R thigh and
+    shank capsules (the crossing legs of a collapsing gait) plus each
+    lower arm's capsule against the TORSO BOX (exact SDF contacts — the
+    arms swing through the torso volume otherwise). Reference: jiminy
+    activates humanoid self-collision through hpp-fcl (SURVEY.md §2.1
+    "Model"). 12 total contacts — inside the whole-substep kernel's
+    in-kernel pair scope."""
+    from jiminy_tpu.engine.collision import Box, Capsule, CollisionPair
+
+    def leg_seg(side, link, length):
+        return Capsule(
+            f"{side}_{link}", (0.0, 0.0, 0.0), (0.0, 0.0, -length),
+            leg_radius,
+        )
+
+    torso = Box(
+        "torso", (0.0, 0.0, p.torso_h / 2),
+        (0.16, 0.18, p.torso_h / 2),
+    )
+    pairs = [
+        CollisionPair(leg_seg("l", "thigh", p.thigh_len),
+                      leg_seg("r", "thigh", p.thigh_len)),
+        CollisionPair(leg_seg("l", "shank", p.shank_len),
+                      leg_seg("r", "shank", p.shank_len)),
+    ]
+    for side in ("l", "r"):
+        pairs.append(
+            CollisionPair(
+                Capsule(
+                    f"{side}_lower_arm", (0.0, 0.0, 0.0),
+                    (0.0, 0.0, -p.lower_arm_len), arm_radius,
+                ),
+                torso,
+            )
+        )
+    return tuple(pairs)
+
+
 def make_atlas(
     sensor_period: float = 0.0025,
     sensor_delay: float = 0.0,

@@ -1464,7 +1464,15 @@ def _sensor_stage(spec: SubstepSpec, q, v, a, fc, tau, eps, bufs,
     with the pre-sampled ``eps`` lanes (_corrupt), and ring-push into
     ``bufs`` (a flat lane list, [group][sensor][slot][dim] order).
     ``commit`` is None (always push — k_obs == 1) or a lane mask for
-    conditional pushes. Returns the new flat buffer lane list."""
+    conditional pushes. Returns the new flat buffer lane list.
+
+    Cost note: with k_obs > 1 the measurement (a second lane FK +
+    acceleration propagation) still runs EVERY substep and is masked
+    out on non-boundary iterations — branchless by design (Mosaic
+    predication would evaluate both arms of a cond anyway). The
+    shipped walkers sample sensors at the physics rate (k_obs == 1),
+    where nothing is wasted; slow-sensor robots pay ~2× kernel FK and
+    may prefer the chunked fallback (set env._fused_sensors = False)."""
     sspec = spec.sensors
     xl, xw, vel = _lane_fk(spec, q, v, zero)
 

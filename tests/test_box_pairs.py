@@ -97,7 +97,7 @@ class TestBoxBoxRest:
         )
         # 16 point contacts (8 corners each way) → 48 pair rows
         assert eng._pair_set.total_contacts == 16
-        assert not eng._pair_set.all_segs
+        assert {k for k, _ in eng._pair_set.gens} == {"ptbox"}
         q0 = tree.neutral_q().at[3].set(0.35)  # cube z (q: slab + free)
         st = eng.reset(q=q0)
 
