@@ -96,6 +96,47 @@ class TestSensorKernel:
             atol=1e-6,
         )
 
+    def test_fused_k_obs2_matches_fallback(self):
+        """k_obs > 1: the in-kernel stage measures every substep but
+        COMMITS only on obs boundaries (where-mask + eps shift). Ant's
+        suite samples at 2× its physics step — fused must equal the
+        chunked fallback exactly there too (an artifact trained on this
+        path can't catch a buffer-timing slip; this A/B can)."""
+        from jiminy_tpu.envs import AntEnv
+
+        env = AntEnv(
+            observe="sensors", max_steps=20,
+            engine_options=EngineOptions(
+                dt=2.5e-3, contact_model="constraint",
+                constraint_solver="pallas_substep", pgs_iters=4,
+                compute_solver_residual=False,
+            ),
+        )
+        assert env.n_substeps_per_obs == 2  # the k_obs=2 config
+        assert env.n_obs_updates == 10
+        assert env._fused_sensors
+        key = jax.random.PRNGKey(2)
+        st = jax.jit(env.reset)(key)
+        a = 0.2 * jax.random.normal(jax.random.PRNGKey(9), (8,))
+        out_fused = jax.jit(env.step_no_reset)(st, a)
+        env._fused_sensors = False
+        out_ref = jax.jit(env.step_no_reset)(st, a)
+        env._fused_sensors = True
+        np.testing.assert_allclose(
+            out_fused.sim.q, out_ref.sim.q, atol=2e-4, rtol=1e-3
+        )
+        for bf, br in zip(
+            out_fused.info["sensor_bufs"], out_ref.info["sensor_bufs"]
+        ):
+            scale = max(1.0, float(jnp.max(jnp.abs(br))))
+            np.testing.assert_allclose(
+                np.asarray(bf) / scale, np.asarray(br) / scale,
+                atol=5e-3,
+            )
+        np.testing.assert_allclose(
+            out_fused.obs, out_ref.obs, atol=5e-3, rtol=1e-2
+        )
+
     @pytest.mark.slow  # interpret-mode Pallas: minutes on CPU
     def test_fused_randomized_combo(self):
         """Domain randomization + in-kernel sensors together (the full
